@@ -1,0 +1,135 @@
+"""Scheduler parity vs the reference implementation (pure numpy oracle)."""
+
+import numpy as np
+import pytest
+
+from conftest import load_reference_module
+from minsdtf_tpu import scheduler as sch
+
+ref_scheduler = load_reference_module("scheduler")
+
+
+def test_alphas_cumprod_tables_match():
+    ours = sch.Scheduler(active_tcd=False)
+    ref = ref_scheduler.Scheduler(active_tcd=False)
+    np.testing.assert_allclose(ours.alphas_cumprod, ref.alphas_cumprod, rtol=1e-12)
+    np.testing.assert_allclose(ours.signal_rates, ref.signal_rates, rtol=1e-12)
+    np.testing.assert_allclose(ours.noise_rates, ref.noise_rates, rtol=1e-12)
+
+
+@pytest.mark.parametrize("n", [1, 4, 25, 50, 999])
+def test_ddim_timesteps_match(n):
+    ours = sch.Scheduler(active_tcd=False)
+    ref = ref_scheduler.Scheduler(active_tcd=False)
+    ours.set_timesteps(n)
+    ref.set_timesteps(n)
+    np.testing.assert_array_equal(ours.timesteps, ref.timesteps)
+
+
+@pytest.mark.parametrize("n,orig,strength", [(4, 50, 1.0), (8, 50, 1.0), (2, 4, 1.0), (4, 50, 0.6)])
+def test_tcd_timesteps_match(n, orig, strength):
+    ours = sch.Scheduler(active_tcd=True, original_inference_steps=orig)
+    ref = ref_scheduler.Scheduler(active_tcd=True, original_inference_steps=orig)
+    ours.set_timesteps(n, strength=strength)
+    ref.set_timesteps(n, strength=strength)
+    np.testing.assert_array_equal(ours.timesteps, ref.timesteps)
+
+
+def _run_loop(scheduler_obj, timesteps_desc, eps_seq, x0, eta):
+    """Replicates the reference pipeline hot loop ordering (stable_diffusion.py:442-468)."""
+    latent = x0
+    for i, t in enumerate(timesteps_desc):
+        latent_prev = latent
+        latent = eps_seq[i]  # stand-in for the model output
+        latent = scheduler_obj.step(latent, int(t), latent_prev, eta=eta)
+    return latent
+
+
+@pytest.mark.parametrize("tcd,eta", [(False, 0.0), (True, 0.0)])
+def test_step_loop_parity_deterministic(tcd, eta):
+    rng = np.random.RandomState(0)
+    n = 6
+    shape = (1, 4, 4, 4)
+    eps_seq = [rng.randn(*shape).astype(np.float32) for _ in range(n)]
+    x0 = rng.randn(*shape).astype(np.float32)
+
+    ours = sch.Scheduler(active_tcd=tcd)
+    ref = ref_scheduler.Scheduler(active_tcd=tcd)
+    ours.set_timesteps(n)
+    ref.set_timesteps(n)
+    ts = ref.timesteps  # descending
+
+    out_ours = _run_loop(ours, ts, eps_seq, x0, eta)
+    out_ref = _run_loop(ref, ts, eps_seq, x0, eta)
+    np.testing.assert_allclose(out_ours, out_ref, rtol=1e-6, atol=1e-6)
+
+
+@pytest.mark.parametrize("tcd,eta", [(False, 0.0), (True, 0.0), (True, 0.3)])
+def test_denoise_schedule_matches_host_step(tcd, eta):
+    """The stacked DenoiseSchedule coefficients reproduce Scheduler.step exactly
+    (TCD eta>0 compared with the noise term zeroed, since realizations differ)."""
+    rng = np.random.RandomState(1)
+    n = 5
+    shape = (2, 4, 4, 4)
+
+    host = sch.Scheduler(active_tcd=tcd)
+    dev = sch.build_denoise_schedule(sch.Scheduler(active_tcd=tcd), num_steps=n, eta=eta)
+    host.set_timesteps(n)
+    np.testing.assert_array_equal(dev.timesteps, host.timesteps)
+
+    latent = rng.randn(*shape).astype(np.float32)
+    for i in range(dev.num_steps):
+        eps = rng.randn(*shape).astype(np.float32)
+        # host step (monkeypatch TCD noise to zero for comparability)
+        if tcd and eta > 0.0:
+            orig_randn = np.random.randn
+            np.random.randn = lambda *s: np.zeros(s)
+            try:
+                want = host.step(eps, int(dev.timesteps[i]), latent, eta=eta)
+            finally:
+                np.random.randn = orig_randn
+        else:
+            want = host.step(eps, int(dev.timesteps[i]), latent, eta=eta)
+
+        # device-form step from stacked rows
+        x0 = (latent - dev.nr_t[i] * eps) / dev.sr_t[i]
+        if tcd:
+            d = dev.sr_s[i] * x0 + dev.nr_s[i] * eps
+            if eta > 0.0 and not dev.is_last[i]:
+                got = dev.c_denoised[i] * d + dev.c_noise[i] * 0.0
+            else:
+                got = d
+        else:
+            if dev.is_last[i]:
+                got = x0
+            else:
+                got = dev.sr_prev[i] * x0 + dev.nr_prev[i] * eps
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+        latent = want.astype(np.float32)
+
+
+def test_img2img_truncated_schedule():
+    """img2img runs descending indices [n-k, n) where k = int(n*strength+0.5)
+    (reference stable_diffusion.py:410-416)."""
+    n, strength = 25, 0.8
+    k = int(n * strength + 0.5)
+    dev = sch.build_denoise_schedule(
+        sch.Scheduler(active_tcd=False), num_steps=n, strength=strength
+    )
+    full = sch.Scheduler(active_tcd=False)
+    full.set_timesteps(n)
+    np.testing.assert_array_equal(dev.timesteps, full.timesteps[n - k:])
+    assert dev.is_last[-1] == 1.0 and dev.is_last[:-1].sum() == 0.0
+
+
+def test_timestep_embedding_matches_reference_formula():
+    # reference stable_diffusion.py:543-553
+    def ref_emb(timestep, dim=320, max_period=10000):
+        half = dim // 2
+        freqs = np.exp(-np.log(max_period) * np.arange(half, dtype=np.float32) / half)
+        args = np.asarray([timestep], dtype=np.float32) * freqs
+        return np.concatenate([np.cos(args), np.sin(args)], axis=0)
+
+    for t in [0, 1, 40, 999]:
+        got = np.asarray(sch.timestep_embedding(np.asarray(t)))
+        np.testing.assert_allclose(got, ref_emb(t), rtol=1e-5, atol=1e-6)
