@@ -319,21 +319,28 @@ def build_denoise_schedule(
     )
 
 
-def timestep_embedding(timesteps, dim: int = 320, max_period: float = 10000.0):
-    """Sinusoidal timestep embedding, ``concat([cos, sin])`` ordering.
+def timestep_embedding(timesteps, dim: int = 320, max_period: float = 10000.0) -> np.ndarray:
+    """Sinusoidal timestep embedding, ``concat([cos, sin])`` ordering — host numpy.
 
-    Matches reference ``stable_diffusion.py:543-553`` (which computes it on host and
-    feeds it as a model input; here it runs on device inside the jitted sampler).
-    Works on numpy or jax arrays; ``timesteps`` is a scalar or (n,) array.
+    Matches reference ``stable_diffusion.py:543-553`` bitwise. The denoise schedule's
+    timesteps are static per run, so the sampler precomputes all step embeddings here
+    on host and feeds them as scan inputs (no transcendentals traced on device, and no
+    cos-ulp divergence vs the oracle). ``timesteps`` is a scalar or (n,) array.
     """
+    half = dim // 2
+    freqs = np.exp(-np.log(max_period) * np.arange(half, dtype=np.float32) / half)
+    args = np.asarray(timesteps, dtype=np.float32)[..., None] * freqs
+    return np.concatenate([np.cos(args), np.sin(args)], axis=-1).astype(np.float32)
+
+
+def timestep_embedding_traced(timesteps, dim: int = 320, max_period: float = 10000.0):
+    """Traced (jnp) variant of :func:`timestep_embedding` for data-dependent timesteps
+    (training draws t at random per example). Same formula; float32."""
     import jax.numpy as jnp
 
     half = dim // 2
-    # freqs is a static table; compute it on host in float32 exactly as the reference
-    # does, so the large t * freq products entering cos/sin agree bitwise.
     freqs = jnp.asarray(
-        np.exp(-np.log(max_period) * np.arange(half, dtype=np.float32) / half),
-        dtype=jnp.float32,
+        np.exp(-np.log(max_period) * np.arange(half, dtype=np.float32) / half)
     )
     args = jnp.asarray(timesteps, dtype=jnp.float32)[..., None] * freqs
     return jnp.concatenate([jnp.cos(args), jnp.sin(args)], axis=-1)
