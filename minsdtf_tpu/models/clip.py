@@ -1,0 +1,116 @@
+"""CLIP ViT-L/14 text stack as pure functions over a flat param dict.
+
+Reference behavior being matched (``stable_diffusion/text_encoder.py``):
+  - the token+position embedding is a *separate* stage from the transformer
+    (``TextClipEmbedding``, :107-124) so textual-inversion vectors can be spliced in
+    between (``long_prompt_weighting.py:202-213``);
+  - 12 pre-LayerNorm encoder blocks, 12 heads, 768 dim, quick_gelu MLP, causal mask
+    (:35-100);
+  - ``clip_skip``: tap the output of layer ``num_layers + clip_skip`` and apply the
+    final LayerNorm to it (:133-137). clip_skip=-1 is the usual last-layer output.
+
+Param keys use HF/diffusers naming (``text_model.encoder.layers.{i}.*``,
+``text_model.embeddings.*``, ``text_model.final_layer_norm``).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from minsdtf_tpu.ops.attention import multi_head_attention
+from minsdtf_tpu.ops.basic import dense, layer_norm, quick_gelu
+
+EMBED_DIM = 768
+NUM_HEADS = 12
+NUM_LAYERS = 12
+VOCAB_SIZE = 49408
+MAX_LENGTH = 77
+
+
+def clip_embedding(params: dict, tokens: jax.Array, positions: jax.Array) -> jax.Array:
+    """Token + position embedding. tokens/positions: (B, S) int32 -> (B, S, 768)."""
+    tok = params["text_model.embeddings.token_embedding"]["embedding"][tokens]
+    pos = params["text_model.embeddings.position_embedding"]["embedding"][positions]
+    return tok + pos
+
+
+def _encoder_layer(p_prefix: str, params: dict, x: jax.Array) -> jax.Array:
+    p = lambda name: params[f"{p_prefix}.{name}"]
+    residual = x
+    h = layer_norm(x, p("layer_norm1"))
+    q = dense(h, p("self_attn.q_proj"))
+    k = dense(h, p("self_attn.k_proj"))
+    v = dense(h, p("self_attn.v_proj"))
+    attn = multi_head_attention(q, k, v, num_heads=NUM_HEADS, causal=True)
+    h = dense(attn, p("self_attn.out_proj"))
+    x = residual + h
+    residual = x
+    h = layer_norm(x, p("layer_norm2"))
+    h = dense(h, p("mlp.fc1"))
+    h = quick_gelu(h)
+    h = dense(h, p("mlp.fc2"))
+    return residual + h
+
+
+def text_encoder(params: dict, clip_emb: jax.Array, clip_skip: int = -1) -> jax.Array:
+    """Encoder stack on top of :func:`clip_embedding` output.
+
+    Runs layers ``0 .. NUM_LAYERS + clip_skip`` inclusive then the final LayerNorm —
+    numerically identical to the reference's run-all-and-tap formulation, but the
+    skipped layers are never traced (the reference relies on Keras graph pruning for
+    the same effect, ``text_encoder.py:141``).
+    """
+    num_effective = NUM_LAYERS + clip_skip + 1
+    assert 1 <= num_effective <= NUM_LAYERS, f"invalid clip_skip {clip_skip}"
+    x = clip_emb
+    for idx in range(num_effective):
+        x = _encoder_layer(f"text_model.encoder.layers.{idx}", params, x)
+    return layer_norm(x, params["text_model.final_layer_norm"])
+
+
+def encode_tokens(params: dict, tokens: jax.Array, clip_skip: int = -1) -> jax.Array:
+    """Embedding + encoder in one call; positions are 0..S-1."""
+    positions = jnp.arange(tokens.shape[-1], dtype=jnp.int32)[None, :]
+    emb = clip_embedding(params, tokens, jnp.broadcast_to(positions, tokens.shape))
+    return text_encoder(params, emb, clip_skip=clip_skip)
+
+
+def init_params(rng: jax.Array, dtype=jnp.float32) -> dict:
+    """Random-initialized param dict (tests / benchmarks; production converts weights)."""
+    import numpy as np
+
+    rs = np.random.RandomState(np.asarray(jax.random.key_data(rng)).ravel()[-1] % (2**31))
+
+    def normal(*shape, scale=0.02):
+        return jnp.asarray(rs.normal(0.0, scale, shape), dtype=dtype)
+
+    params = {
+        "text_model.embeddings.token_embedding": {"embedding": normal(VOCAB_SIZE, EMBED_DIM)},
+        "text_model.embeddings.position_embedding": {"embedding": normal(MAX_LENGTH, EMBED_DIM)},
+        "text_model.final_layer_norm": {
+            "scale": jnp.ones((EMBED_DIM,), dtype),
+            "bias": jnp.zeros((EMBED_DIM,), dtype),
+        },
+    }
+    for i in range(NUM_LAYERS):
+        pre = f"text_model.encoder.layers.{i}"
+        for ln in ("layer_norm1", "layer_norm2"):
+            params[f"{pre}.{ln}"] = {
+                "scale": jnp.ones((EMBED_DIM,), dtype),
+                "bias": jnp.zeros((EMBED_DIM,), dtype),
+            }
+        for proj in ("q_proj", "k_proj", "v_proj", "out_proj"):
+            params[f"{pre}.self_attn.{proj}"] = {
+                "kernel": normal(EMBED_DIM, EMBED_DIM),
+                "bias": jnp.zeros((EMBED_DIM,), dtype),
+            }
+        params[f"{pre}.mlp.fc1"] = {
+            "kernel": normal(EMBED_DIM, EMBED_DIM * 4),
+            "bias": jnp.zeros((EMBED_DIM * 4,), dtype),
+        }
+        params[f"{pre}.mlp.fc2"] = {
+            "kernel": normal(EMBED_DIM * 4, EMBED_DIM),
+            "bias": jnp.zeros((EMBED_DIM,), dtype),
+        }
+    return params

@@ -1,0 +1,118 @@
+"""Primitive NN ops: conv / dense / norms / activations, NHWC, pure functions.
+
+Conventions (chosen for zero-copy weight conversion from PyTorch checkpoints):
+  - conv kernels are HWIO (PyTorch OIHW is transposed (2,3,1,0) at convert time, the
+    same permutation the reference loader applies, ``ckpt_loader.py:2181``);
+  - dense kernels are (in, out) (PyTorch (out,in) transposed (1,0));
+  - a "module" is a flat-dict entry ``params[name] = {"kernel": ..., "bias": ...}`` or
+    ``{"scale": ..., "bias": ...}`` for norms, with ``name`` the dotted diffusers-style
+    path (e.g. ``down_blocks.0.resnets.0.conv1``) — identical to the reference's layer
+    names so parity is line-checkable.
+
+Numerics: matmuls/convs run in the dtype of the activations (bf16 in production,
+fp32 in parity tests) with fp32 accumulation; normalization statistics are always fp32.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+
+Padding = Union[int, Tuple[Tuple[int, int], Tuple[int, int]]]
+
+
+def conv2d(x: jax.Array, p: dict, stride: int = 1, padding: Padding = 0) -> jax.Array:
+    """2-D convolution, NHWC x HWIO. ``padding`` is an int (symmetric) or explicit
+    ``((top,bottom),(left,right))`` — the VAE encoder needs the asymmetric
+    ``((0,1),(0,1))`` stride-2 form (reference ``image_encoder.py:31-37``)."""
+    if isinstance(padding, int):
+        pad = ((padding, padding), (padding, padding))
+    else:
+        pad = tuple((int(a), int(b)) for a, b in padding)
+    kernel = p["kernel"].astype(x.dtype)
+    out = jax.lax.conv_general_dilated(
+        x,
+        kernel,
+        window_strides=(stride, stride),
+        padding=pad,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype)
+    if "bias" in p:
+        out = out + p["bias"].astype(x.dtype)
+    return out
+
+
+def dense(x: jax.Array, p: dict) -> jax.Array:
+    """Affine map over the last axis; kernel is (in, out)."""
+    out = jnp.dot(x, p["kernel"].astype(x.dtype), preferred_element_type=jnp.float32)
+    out = out.astype(x.dtype)
+    if "bias" in p:
+        out = out + p["bias"].astype(x.dtype)
+    return out
+
+
+def group_norm(x: jax.Array, p: dict, num_groups: int = 32, eps: float = 1e-5) -> jax.Array:
+    """GroupNorm over the channel (last) axis of NHWC, fp32 statistics.
+
+    Matches ``keras.layers.GroupNormalization(epsilon=1e-5)`` with default 32 groups
+    as used throughout the reference UNet/VAE (``diffusion_model.py:27``,
+    ``layers.py:32``)."""
+    b = x.shape[0]
+    c = x.shape[-1]
+    spatial = x.shape[1:-1]
+    xf = x.astype(jnp.float32).reshape(b, -1, num_groups, c // num_groups)
+    mean = jnp.mean(xf, axis=(1, 3), keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=(1, 3), keepdims=True)
+    xf = (xf - mean) * jax.lax.rsqrt(var + eps)
+    xf = xf.reshape(b, *spatial, c)
+    out = xf * p["scale"].astype(jnp.float32) + p["bias"].astype(jnp.float32)
+    return out.astype(x.dtype)
+
+
+def group_norm_silu(x: jax.Array, p: dict, num_groups: int = 32, eps: float = 1e-5) -> jax.Array:
+    """Fused GroupNorm + SiLU — the prologue of every ResBlock conv. XLA fuses the
+    elementwise tail into one pass; a Pallas kernel can override this hot path."""
+    h = group_norm(x, p, num_groups=num_groups, eps=eps)
+    return h * jax.nn.sigmoid(h)
+
+
+def layer_norm(x: jax.Array, p: dict, eps: float = 1e-5) -> jax.Array:
+    """LayerNorm over the last axis, fp32 statistics."""
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    xf = (xf - mean) * jax.lax.rsqrt(var + eps)
+    out = xf * p["scale"].astype(jnp.float32) + p["bias"].astype(jnp.float32)
+    return out.astype(x.dtype)
+
+
+def silu(x: jax.Array) -> jax.Array:
+    return x * jax.nn.sigmoid(x)
+
+
+def quick_gelu(x: jax.Array) -> jax.Array:
+    """CLIP's quick_gelu: ``x * sigmoid(1.702 x)`` (reference ``text_encoder.py:103``)."""
+    return x * jax.nn.sigmoid(1.702 * x)
+
+
+def gelu_tanh(x: jax.Array) -> jax.Array:
+    """tanh-approximated GELU as written in the reference GEGLU
+    (``diffusion_model.py:148-153``): ``0.5 x (1 + tanh(0.79788456 x (1 + 0.044715 x²)))``."""
+    return 0.5 * x * (1.0 + jnp.tanh(x * 0.7978845608 * (1.0 + 0.044715 * jnp.square(x))))
+
+
+def geglu(x: jax.Array, p: dict, output_dim: int) -> jax.Array:
+    """GEGLU feed-forward gate: proj to 2*output_dim, ``value * gelu_tanh(gate)``."""
+    h = dense(x, p)
+    value, gate = h[..., :output_dim], h[..., output_dim:]
+    return value * gelu_tanh(gate)
+
+
+def upsample_nearest_2x(x: jax.Array) -> jax.Array:
+    """Nearest-neighbour 2x upsample (keras ``UpSampling2D(2)`` default)."""
+    b, h, w, c = x.shape
+    x = jnp.broadcast_to(x[:, :, None, :, None, :], (b, h, 2, w, 2, c))
+    return x.reshape(b, h * 2, w * 2, c)
