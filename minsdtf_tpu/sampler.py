@@ -1,0 +1,153 @@
+"""The denoising loop as ONE jitted program (lax.scan) — the heart of the redesign.
+
+The reference dispatches >=50 separate ``predict_on_batch`` calls per 25-step CFG
+generation with host-side numpy between every one (CFG combine, rescale, scheduler
+step, inpaint blend — ``stable_diffusion/stable_diffusion.py:442-479``). Here the
+entire VAE-encode -> denoise -> VAE-decode program is traced once:
+
+  - per-step scheduler coefficients and timestep embeddings are precomputed host-side
+    (:mod:`minsdtf_tpu.scheduler`) and consumed as ``lax.scan`` inputs;
+  - the CFG cond/uncond pair is batched into a single UNet call (batch 2B), replacing
+    the reference's two sequential calls (:454-457);
+  - CFG combine + rescale (arXiv:2305.08891 §3.4, reference :304-315), the
+    DDIM-like/TCD update, the inpaint latent blend (:469-475) and the final decode +
+    pixel blend (:482-486) all live inside the same jit — zero host round-trips.
+
+Static flags (``use_cfg``/``active_tcd``/``stochastic``/``use_controls``/
+``use_inpaint``) select the traced structure; guidance scale/rescale are traced
+scalars so changing them does NOT recompile.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from minsdtf_tpu.models import controlnet as controlnet_lib
+from minsdtf_tpu.models import unet as unet_lib
+from minsdtf_tpu.models import vae as vae_lib
+
+
+def rescale_noise_cfg(noise_cfg, noise_pred_text, guidance_rescale, epsilon=1e-5):
+    """Std-matching CFG rescale (reference ``stable_diffusion.py:304-315``).
+
+    With ``guidance_rescale == 0`` this is the identity, so it is applied
+    unconditionally and the knob stays a traced scalar."""
+    axes = tuple(range(1, noise_cfg.ndim))
+    std_text = jnp.std(noise_pred_text.astype(jnp.float32), axis=axes, keepdims=True)
+    std_cfg = jnp.std(noise_cfg.astype(jnp.float32), axis=axes, keepdims=True) + epsilon
+    rescaled = noise_cfg * (std_text / std_cfg).astype(noise_cfg.dtype)
+    return guidance_rescale * rescaled + (1.0 - guidance_rescale) * noise_cfg
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "use_cfg", "active_tcd", "stochastic", "use_controls", "use_inpaint", "decode",
+    ),
+    donate_argnames=("latent0",),
+)
+def generate(
+    unet_params,
+    decoder_params,
+    latent0: jax.Array,            # (B, h, w, 4) initial (noised) latent
+    context: jax.Array,            # (B, S, 768) conditional text context
+    uncond_context: Optional[jax.Array],   # (B, S, 768) when use_cfg
+    t_embs: jax.Array,             # (n, 320) host-precomputed timestep embeddings
+    rows: dict,                    # per-step scheduler coefficient arrays, each (n,)
+    guidance_scale: jax.Array,     # traced scalar
+    guidance_rescale: jax.Array,   # traced scalar
+    noise_key: Optional[jax.Array] = None,        # PRNG key for TCD stochastic noise
+    controlnet_params=None,
+    hint: Optional[jax.Array] = None,             # (B, h, w, 320) HintNet output
+    init_latent: Optional[jax.Array] = None,      # (B, h, w, 4) for inpaint re-noise
+    latent_mask: Optional[jax.Array] = None,      # (B, h, w, 1) 1 = generate
+    blend_noise: Optional[jax.Array] = None,      # (B, h, w, 4), fixed across steps
+    image_for_blend: Optional[jax.Array] = None,  # (B, H, W, 3) in [0, 1]
+    pixel_mask: Optional[jax.Array] = None,       # (B, H, W, 1)
+    *,
+    use_cfg: bool,
+    active_tcd: bool,
+    stochastic: bool,
+    use_controls: bool,
+    use_inpaint: bool,
+    decode: bool = True,
+):
+    """Run the full denoise(+decode) program. Returns ``(image_uint8, latent)`` when
+    ``decode`` else ``(None, latent)``."""
+    compute_dtype = latent0.dtype
+    n_steps = t_embs.shape[0]
+    batch = latent0.shape[0]
+
+    if use_cfg:
+        ctx_pair = jnp.concatenate([uncond_context, context], axis=0).astype(compute_dtype)
+        hint_pair = (
+            jnp.concatenate([hint, hint], axis=0).astype(compute_dtype) if use_controls else None
+        )
+    else:
+        ctx_pair = context.astype(compute_dtype)
+        hint_pair = hint.astype(compute_dtype) if use_controls else None
+
+    xs = {
+        "t_emb": t_embs.astype(compute_dtype),
+        "idx": jnp.arange(n_steps, dtype=jnp.uint32),
+        **{k: jnp.asarray(v, jnp.float32) for k, v in rows.items()},
+    }
+
+    def unet_eps(latent, t_emb_row):
+        reps = 2 if use_cfg else 1
+        lat_in = jnp.concatenate([latent] * reps, axis=0) if use_cfg else latent
+        t_emb = jnp.broadcast_to(t_emb_row[None, :], (batch * reps, t_emb_row.shape[0]))
+        controls = None
+        if use_controls:
+            controls = controlnet_lib.apply(
+                controlnet_params, lat_in, t_emb, ctx_pair, hint_pair
+            )
+        eps = unet_lib.apply(unet_params, lat_in, t_emb, ctx_pair, controls=controls)
+        if use_cfg:
+            uncond, cond = jnp.split(eps, 2, axis=0)
+            # reference :458: uncond + scale * (cond - uncond); then rescale :459-461
+            merged = uncond + guidance_scale.astype(eps.dtype) * (cond - uncond)
+            return rescale_noise_cfg(merged, cond, guidance_rescale.astype(eps.dtype))
+        return eps
+
+    def body(latent, step):
+        eps = unet_eps(latent, step["t_emb"]).astype(jnp.float32)
+        lat32 = latent.astype(jnp.float32)
+        x0 = (lat32 - step["nr_t"] * eps) / step["sr_t"]
+        if active_tcd:
+            denoised = step["sr_s"] * x0 + step["nr_s"] * eps
+            if stochastic:
+                z = jax.random.normal(
+                    jax.random.fold_in(noise_key, step["idx"]), lat32.shape, jnp.float32
+                )
+                renoised = step["c_denoised"] * denoised + step["c_noise"] * z
+                new = jnp.where(step["is_last"] > 0, denoised, renoised)
+            else:
+                new = denoised
+        else:
+            ddim = step["sr_prev"] * x0 + step["nr_prev"] * eps
+            new = jnp.where(step["is_last"] > 0, x0, ddim)
+        if use_inpaint:
+            # Per-step re-noise of the init latent at the *current* t with the same
+            # fixed noise tensor every step (reference :469-475 quirk, preserved).
+            origin = step["sr_t"] * init_latent.astype(jnp.float32) + step["nr_t"] * blend_noise.astype(jnp.float32)
+            m = latent_mask.astype(jnp.float32)
+            new = origin * (1.0 - m) + new * m
+        return new.astype(compute_dtype), None
+
+    latent, _ = jax.lax.scan(body, latent0, xs)
+
+    if not decode:
+        return None, latent
+
+    decoded = vae_lib.decode(decoder_params, latent).astype(jnp.float32)
+    image = (decoded + 1.0) * 0.5
+    if use_inpaint and image_for_blend is not None:
+        pm = pixel_mask.astype(jnp.float32)
+        image = image_for_blend.astype(jnp.float32) * (1.0 - pm) + image * pm
+    image_u8 = jnp.clip(image * 255.0, 0.0, 255.0).astype(jnp.uint8)
+    return image_u8, latent
