@@ -166,8 +166,10 @@ def apply(
 # Parameter-shape table + random init (tests / benchmarks).
 # ---------------------------------------------------------------------------------------
 
-def param_specs() -> dict:
-    """Flat {module_name: {leaf: shape}} spec for the full SD1.5 UNet."""
+def param_specs(widths=BLOCK_WIDTHS, temb_dim: int = 1280, context_dim: int = CONTEXT_DIM) -> dict:
+    """Flat {module_name: {leaf: shape}} spec. Defaults are the full SD1.5 UNet;
+    tests use scaled-down widths (``apply`` reads all channel counts from the params,
+    so the same code runs any width config)."""
     specs: dict = {}
 
     def norm(name, c):
@@ -182,7 +184,7 @@ def param_specs() -> dict:
     def res(prefix, cin, cout):
         norm(f"{prefix}.norm1", cin)
         convs(f"{prefix}.conv1", cin, cout, 3)
-        lin(f"{prefix}.time_emb_proj", 1280, cout)
+        lin(f"{prefix}.time_emb_proj", temb_dim, cout)
         norm(f"{prefix}.norm2", cout)
         convs(f"{prefix}.conv2", cout, cout, 3)
         if cin != cout:
@@ -194,7 +196,7 @@ def param_specs() -> dict:
         t = f"{prefix}.transformer_blocks.0"
         for ln in ("norm1", "norm2", "norm3"):
             specs[f"{t}.{ln}"] = {"scale": (c,), "bias": (c,)}
-        for a, kv in (("attn1", c), ("attn2", CONTEXT_DIM)):
+        for a, kv in (("attn1", c), ("attn2", context_dim)):
             lin(f"{t}.{a}.to_q", c, c, bias=False)
             lin(f"{t}.{a}.to_k", kv, c, bias=False)
             lin(f"{t}.{a}.to_v", kv, c, bias=False)
@@ -203,29 +205,29 @@ def param_specs() -> dict:
         lin(f"{t}.ff.net.2", c * 4, c)
         convs(f"{prefix}.proj_out", c, c, 1)
 
-    lin("time_embedding.linear_1", 320, 1280)
-    lin("time_embedding.linear_2", 1280, 1280)
-    convs("conv_in", 4, 320, 3)
+    lin("time_embedding.linear_1", widths[0], temb_dim)
+    lin("time_embedding.linear_2", temb_dim, temb_dim)
+    convs("conv_in", 4, widths[0], 3)
 
-    widths = BLOCK_WIDTHS
     for level in range(3):
-        cin = widths[level - 1] if level > 0 else 320
+        cin = widths[level - 1] if level > 0 else widths[0]
         for j in range(2):
             res(f"down_blocks.{level}.resnets.{j}", cin if j == 0 else widths[level], widths[level])
             attn(f"down_blocks.{level}.attentions.{j}", widths[level])
         convs(f"down_blocks.{level}.downsamplers.0.conv", widths[level], widths[level], 3)
-    res("down_blocks.3.resnets.0", 1280, 1280)
-    res("down_blocks.3.resnets.1", 1280, 1280)
+    res("down_blocks.3.resnets.0", widths[2], widths[3])
+    res("down_blocks.3.resnets.1", widths[3], widths[3])
 
-    res("mid_block.resnets.0", 1280, 1280)
-    attn("mid_block.attentions.0", 1280)
-    res("mid_block.resnets.1", 1280, 1280)
+    res("mid_block.resnets.0", widths[3], widths[3])
+    attn("mid_block.attentions.0", widths[3])
+    res("mid_block.resnets.1", widths[3], widths[3])
 
     # Up path input channels: x concat skip. Skip channel schedule mirrors the
     # down-path `skips` stack (see `apply`).
-    skip_cs = [320, 320, 320, 320, 640, 640, 640, 1280, 1280, 1280, 1280, 1280]
-    up_widths = (1280, 1280, 640, 320)
-    x_c = 1280
+    w0, w1, w2, w3 = widths
+    skip_cs = [w0, w0, w0, w0, w1, w1, w1, w2, w2, w2, w3, w3]
+    up_widths = (w3, w2, w1, w0)
+    x_c = w3
     for level in range(4):
         w = up_widths[level]
         for j in range(3):
@@ -236,18 +238,18 @@ def param_specs() -> dict:
         if level < 3:
             convs(f"up_blocks.{level}.upsamplers.0.conv", w, w, 3)
 
-    norm("conv_norm_out", 320)
-    convs("conv_out", 320, 4, 3)
+    norm("conv_norm_out", widths[0])
+    convs("conv_out", widths[0], 4, 3)
     return specs
 
 
-def init_params(rng: jax.Array, dtype=jnp.float32, scale: float = 0.02) -> dict:
+def init_params(rng: jax.Array, dtype=jnp.float32, scale: float = 0.02, **spec_kw) -> dict:
     """Random params matching :func:`param_specs` (numpy RNG: cheap and CPU-side)."""
     import numpy as np
 
     rs = np.random.RandomState(np.asarray(jax.random.key_data(rng)).ravel()[-1] % (2**31))
     params = {}
-    for name, leaves in param_specs().items():
+    for name, leaves in param_specs(**spec_kw).items():
         params[name] = {}
         for leaf, shape in leaves.items():
             if leaf == "scale":

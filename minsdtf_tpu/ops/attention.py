@@ -77,16 +77,24 @@ def multi_head_attention(
 
 
 def _xla_attention(q, k, v, scale: float, causal: bool) -> jax.Array:
+    from minsdtf_tpu.ops.basic import matmul_precision
+
+    prec = matmul_precision(q.dtype)
     # (B, S, H, D) -> (B, H, Sq, Sk) scores with fp32 accumulation/softmax.
     scores = jnp.einsum(
-        "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
+        "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32, precision=prec
     ) * scale
     if causal:
         sq, sk = scores.shape[-2], scores.shape[-1]
         mask = jnp.tril(jnp.ones((sq, sk), dtype=bool), k=sk - sq)
         scores = jnp.where(mask, scores, jnp.float32(-jnp.inf))
-    weights = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
-    return jnp.einsum("bhqk,bkhd->bqhd", weights, v, preferred_element_type=jnp.float32).astype(q.dtype)
+    # fp32 softmax; the PV matmul runs in compute dtype (bf16 prod) or fp32 (parity).
+    pv_dtype = jnp.float32 if prec is not None else q.dtype
+    weights = jax.nn.softmax(scores, axis=-1).astype(pv_dtype)
+    return jnp.einsum(
+        "bhqk,bkhd->bqhd", weights, v.astype(pv_dtype),
+        preferred_element_type=jnp.float32, precision=prec,
+    ).astype(q.dtype)
 
 
 def single_head_spatial_attention(q, k, v) -> jax.Array:

@@ -23,6 +23,13 @@ import jax.numpy as jnp
 Padding = Union[int, Tuple[Tuple[int, int], Tuple[int, int]]]
 
 
+def matmul_precision(dtype) -> Optional[jax.lax.Precision]:
+    """fp32 activations get true-fp32 matmuls (JAX's DEFAULT precision is bf16-class
+    passes even for f32 inputs — measured ~1e-2 abs error on 768-dim contractions);
+    bf16 production uses the fast default."""
+    return jax.lax.Precision.HIGHEST if dtype == jnp.float32 else None
+
+
 def conv2d(x: jax.Array, p: dict, stride: int = 1, padding: Padding = 0) -> jax.Array:
     """2-D convolution, NHWC x HWIO. ``padding`` is an int (symmetric) or explicit
     ``((top,bottom),(left,right))`` — the VAE encoder needs the asymmetric
@@ -39,6 +46,7 @@ def conv2d(x: jax.Array, p: dict, stride: int = 1, padding: Padding = 0) -> jax.
         padding=pad,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         preferred_element_type=jnp.float32,
+        precision=matmul_precision(x.dtype),
     ).astype(x.dtype)
     if "bias" in p:
         out = out + p["bias"].astype(x.dtype)
@@ -47,7 +55,12 @@ def conv2d(x: jax.Array, p: dict, stride: int = 1, padding: Padding = 0) -> jax.
 
 def dense(x: jax.Array, p: dict) -> jax.Array:
     """Affine map over the last axis; kernel is (in, out)."""
-    out = jnp.dot(x, p["kernel"].astype(x.dtype), preferred_element_type=jnp.float32)
+    out = jnp.dot(
+        x,
+        p["kernel"].astype(x.dtype),
+        preferred_element_type=jnp.float32,
+        precision=matmul_precision(x.dtype),
+    )
     out = out.astype(x.dtype)
     if "bias" in p:
         out = out + p["bias"].astype(x.dtype)

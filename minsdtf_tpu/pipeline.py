@@ -1,0 +1,481 @@
+"""The public StableDiffusion pipeline — same API surface as the reference
+(``stable_diffusion/stable_diffusion.py:47-725``), TPU-native execution.
+
+Reference-compatible surface: constructor kwargs (img_height/img_width/jit_compile/
+clip_skip/unet_ckpt/text_encoder_ckpt/vae_ckpt/lora_path/controlnet_path/active_tcd)
+and methods ``text_to_image`` / ``image_to_image`` / ``inpaint`` / ``encode_text`` /
+``generate_image`` with the reference's kwargs.
+
+Execution differences (by design — see DESIGN.md):
+  - the whole denoise loop + VAE decode is ONE jitted program (zero per-step host
+    round-trips; the reference does >=50 dispatches per image);
+  - CFG cond/uncond runs as one batched UNet call when context lengths match;
+  - weights convert once into fp32 pytrees; compute dtype is a policy (bf16 on TPU by
+    default, fp32 otherwise / for parity);
+  - TCD's per-step noise uses jax.random.fold_in (same distribution as the
+    reference's ``np.random.randn``, different realization);
+  - no weight auto-download (zero-egress): checkpoint paths must exist, otherwise
+    seeded random init is used (useful for benchmarks/tests) with a warning;
+  - additional kwargs: ``bpe_path`` (CLIP merges file, the reference downloads it),
+    ``compute_dtype``, ``mesh``/``batch_axis`` for multi-chip sharding.
+
+Known reference bug NOT reproduced: ``preprocessed_mask`` swaps h/w when resizing the
+latent mask (``stable_diffusion.py:301``), which breaks non-square inpainting; we
+resize to (h//8, w//8).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import List, Optional, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from minsdtf_tpu import imaging, sampler, scheduler as sched_lib
+from minsdtf_tpu.models import clip as clip_lib
+from minsdtf_tpu.models import controlnet as controlnet_lib
+from minsdtf_tpu.models import unet as unet_lib
+from minsdtf_tpu.models import vae as vae_lib
+from minsdtf_tpu.text import prompt_weighting as lpw
+from minsdtf_tpu.text.tokenizer import ClipTokenizer
+from minsdtf_tpu.weights import convert, lora as lora_lib, textual_inversion
+
+MAX_PROMPT_LENGTH = 77
+PAD_TOKEN_ID = 49407
+BOS_TOKEN_ID = 49406
+
+
+def _default_dtype():
+    try:
+        return jnp.bfloat16 if jax.devices()[0].platform == "tpu" else jnp.float32
+    except Exception:
+        return jnp.float32
+
+
+class StableDiffusion:
+    """Stable Diffusion 1.5 txt2img / img2img / inpaint on TPU."""
+
+    def __init__(
+        self,
+        img_height: int = 512,
+        img_width: int = 512,
+        jit_compile: bool = True,  # accepted for API parity; everything is always jitted
+        clip_skip: int = -1,
+        unet_ckpt: Optional[str] = None,
+        text_encoder_ckpt: Optional[str] = None,
+        vae_ckpt: Optional[str] = None,
+        lora_path: Optional[str] = None,
+        controlnet_path: Optional[str] = None,
+        active_tcd: bool = False,
+        bpe_path: Optional[str] = None,
+        compute_dtype=None,
+        mesh=None,
+    ):
+        self.img_height = int(img_height)
+        self.img_width = int(img_width)
+        self.clip_skip = int(clip_skip)
+        self.active_tcd = bool(active_tcd)
+        self.compute_dtype = compute_dtype or _default_dtype()
+        self.mesh = mesh
+        self.scheduler = sched_lib.Scheduler(active_tcd=active_tcd)
+
+        self.unet_ckpt = unet_ckpt
+        self.text_encoder_ckpt = text_encoder_ckpt
+        self.vae_ckpt = vae_ckpt
+        self.controlnet_path = controlnet_path
+        self.bpe_path = bpe_path
+
+        self.text_encoder_lora = None
+        self.unet_lora = None
+        if lora_path is not None and os.path.exists(str(lora_path)):
+            self.text_encoder_lora, self.unet_lora = lora_lib.load_lora(lora_path)
+
+        self._unet_params = None
+        self._text_params = None
+        self._vae_params = None
+        self._controlnet_params = None
+        self._tokenizer = None
+        self._encode_tokens_jit = None
+        self._embed_jit = None
+        self._text_encode_jit = None
+        self._hint_jit = None
+
+    # ---- lazy weights -----------------------------------------------------------
+
+    def _load_or_init(self, path, convert_fn, init_fn, name, seed, **kw):
+        if path is not None and os.path.exists(str(path)):
+            print(f"{name}: converting weights from {os.path.basename(str(path))}")
+            return convert_fn(str(path), **kw)
+        if path is not None:
+            raise FileNotFoundError(f"{name}: checkpoint not found: {path}")
+        print(f"{name}: no checkpoint given — using seeded random init (no-network env)")
+        return init_fn(jax.random.PRNGKey(seed))
+
+    @property
+    def unet_params(self):
+        if self._unet_params is None:
+            self._unet_params = self._shard(self._load_or_init(
+                self.unet_ckpt, convert.convert_unet, unet_lib.init_params,
+                "unet", 0, lora=self.unet_lora,
+            ))
+        return self._unet_params
+
+    @property
+    def text_params(self):
+        if self._text_params is None:
+            self._text_params = self._shard(self._load_or_init(
+                self.text_encoder_ckpt, convert.convert_text_encoder, clip_lib.init_params,
+                "text_encoder", 1, lora=self.text_encoder_lora,
+            ))
+        return self._text_params
+
+    @property
+    def vae_params(self):
+        if self._vae_params is None:
+            self._vae_params = self._shard(self._load_or_init(
+                self.vae_ckpt, convert.convert_vae, vae_lib.init_params, "vae", 2,
+            ))
+        return self._vae_params
+
+    @property
+    def controlnet_params(self):
+        if self._controlnet_params is None and self.controlnet_path is not None:
+            self._controlnet_params = self._shard(self._load_or_init(
+                self.controlnet_path, convert.convert_controlnet,
+                controlnet_lib.init_params, "controlnet", 3,
+            ))
+        return self._controlnet_params
+
+    def _shard(self, params):
+        if self.mesh is None:
+            return params
+        from minsdtf_tpu.parallel import sharding
+
+        return sharding.shard_params(params, self.mesh)
+
+    @property
+    def tokenizer(self) -> ClipTokenizer:
+        if self._tokenizer is None:
+            if not self.bpe_path:
+                raise ValueError(
+                    "bpe_path is required (CLIP merges file, e.g. "
+                    "bpe_simple_vocab_16e6.txt.gz); this environment cannot download it."
+                )
+            self._tokenizer = ClipTokenizer(self.bpe_path)
+        return self._tokenizer
+
+    # ---- text encoding ------------------------------------------------------------
+
+    def _text_fns(self):
+        if self._embed_jit is None:
+            clip_skip = self.clip_skip
+
+            @jax.jit
+            def embed(params, tokens):
+                positions = jnp.arange(tokens.shape[-1], dtype=jnp.int32)[None]
+                positions = jnp.broadcast_to(positions, tokens.shape)
+                return clip_lib.clip_embedding(params, tokens, positions)
+
+            @jax.jit
+            def encode(params, emb):
+                return clip_lib.text_encoder(params, emb, clip_skip=clip_skip)
+
+            self._embed_jit = embed
+            self._text_encode_jit = encode
+        params = self.text_params
+        return (
+            lambda tokens: self._embed_jit(params, jnp.asarray(tokens, jnp.int32)),
+            lambda emb: self._text_encode_jit(params, jnp.asarray(emb, jnp.float32)),
+        )
+
+    def encode_text(self, prompt: Union[str, List[str]], embedding_data=None) -> np.ndarray:
+        """Prompt -> (B, 77*m, 768) context via A1111 LPW; optional textual-inversion
+        embedding (path to .pt/.safetensors or array) spliced at the front."""
+        embedding = None
+        embedding_tokens_count = 0
+        if embedding_data is not None:
+            if isinstance(embedding_data, str):
+                embedding = textual_inversion.load_embedding(embedding_data)
+                if embedding is None:
+                    raise ValueError(f"failed to load embedding file: {embedding_data}.")
+            else:
+                embedding = np.asarray(embedding_data, dtype=np.float32)
+            embedding_tokens_count = embedding.shape[0]
+            embedding = embedding[None]
+        embed_fn, encode_fn = self._text_fns()
+        return lpw.get_weighted_text_embeddings(
+            self.tokenizer,
+            embed_fn,
+            encode_fn,
+            prompt,
+            model_max_length=MAX_PROMPT_LENGTH,
+            pad_token_id=PAD_TOKEN_ID,
+            embedding=embedding,
+            embedding_tokens_count=embedding_tokens_count,
+        )
+
+    def _unconditional_context(self) -> np.ndarray:
+        """[BOS] + [EOT]*76 through embed+encode, bypassing LPW (reference :488-493)."""
+        tokens = np.asarray([[BOS_TOKEN_ID] + [PAD_TOKEN_ID] * (MAX_PROMPT_LENGTH - 1)], np.int32)
+        embed_fn, encode_fn = self._text_fns()
+        return np.asarray(encode_fn(embed_fn(tokens)))
+
+    # ---- public generation methods --------------------------------------------------
+
+    def text_to_image(
+        self,
+        prompt,
+        negative_prompt=None,
+        batch_size=1,
+        num_steps=50,
+        unconditional_guidance_scale=7.5,
+        embedding=None,
+        negative_embedding=None,
+        seed=None,
+        control_net_image=None,
+        guidance_rescale=0.7,
+        callback=None,
+    ):
+        encoded_text = self.encode_text(prompt, embedding)
+        return self.generate_image(
+            encoded_text,
+            negative_prompt=negative_prompt,
+            batch_size=batch_size,
+            num_steps=num_steps,
+            unconditional_guidance_scale=unconditional_guidance_scale,
+            seed=seed,
+            negative_embedding=negative_embedding,
+            control_net_image=control_net_image,
+            guidance_rescale=guidance_rescale,
+            callback=callback,
+        )
+
+    def image_to_image(
+        self,
+        prompt,
+        negative_prompt=None,
+        batch_size=1,
+        num_steps=50,
+        unconditional_guidance_scale=7.5,
+        embedding=None,
+        negative_embedding=None,
+        seed=None,
+        control_net_image=None,
+        reference_image=None,
+        reference_image_strength=0.8,
+        guidance_rescale=0.7,
+        callback=None,
+    ):
+        encoded_text = self.encode_text(prompt, embedding)
+        return self.generate_image(
+            encoded_text,
+            negative_prompt=negative_prompt,
+            batch_size=batch_size,
+            num_steps=num_steps,
+            unconditional_guidance_scale=unconditional_guidance_scale,
+            seed=seed,
+            negative_embedding=negative_embedding,
+            control_net_image=control_net_image,
+            reference_image=reference_image,
+            reference_image_strength=reference_image_strength,
+            guidance_rescale=guidance_rescale,
+            callback=callback,
+        )
+
+    def inpaint(
+        self,
+        prompt,
+        negative_prompt=None,
+        batch_size=1,
+        num_steps=50,
+        unconditional_guidance_scale=7.5,
+        embedding=None,
+        negative_embedding=None,
+        seed=None,
+        control_net_image=None,
+        reference_image=None,
+        reference_image_strength=0.8,
+        inpaint_mask=None,
+        mask_blur_strength=None,
+        guidance_rescale=0.7,
+        callback=None,
+    ):
+        encoded_text = self.encode_text(prompt, embedding)
+        return self.generate_image(
+            encoded_text,
+            negative_prompt=negative_prompt,
+            batch_size=batch_size,
+            num_steps=num_steps,
+            unconditional_guidance_scale=unconditional_guidance_scale,
+            seed=seed,
+            negative_embedding=negative_embedding,
+            control_net_image=control_net_image,
+            reference_image=reference_image,
+            reference_image_strength=reference_image_strength,
+            inpaint_mask=inpaint_mask,
+            mask_blur_strength=mask_blur_strength,
+            guidance_rescale=guidance_rescale,
+            callback=callback,
+        )
+
+    def generate_image(
+        self,
+        encoded_text,
+        negative_prompt=None,
+        batch_size=1,
+        num_steps=50,
+        unconditional_guidance_scale=7.5,
+        diffusion_noise=None,
+        seed=None,
+        negative_embedding=None,
+        control_net_image=None,
+        inpaint_mask=None,
+        mask_blur_strength=None,
+        reference_image=None,
+        reference_image_strength=0.8,
+        guidance_rescale=0.0,
+        callback=None,
+        eta=0.3,
+        return_latent=False,
+    ):
+        if diffusion_noise is not None and seed is not None:
+            raise ValueError(
+                "`diffusion_noise` and `seed` should not both be passed to "
+                "`generate_image`. `seed` is only used to generate diffusion "
+                "noise when it's not already user-specified."
+            )
+        h8, w8 = self.img_height // 8, self.img_width // 8
+        dtype = self.compute_dtype
+
+        context = self._expand(np.asarray(encoded_text, np.float32), batch_size)
+        use_cfg = unconditional_guidance_scale > 0.0
+        uncond_context = None
+        if use_cfg:
+            if negative_prompt is None and negative_embedding is None:
+                uncond_context = np.repeat(self._unconditional_context(), batch_size, axis=0)
+            else:
+                uncond_context = self._expand(
+                    self.encode_text(negative_prompt or "", negative_embedding), batch_size
+                )
+
+        # ---- noise & init latent ------------------------------------------------
+        if seed is None and diffusion_noise is None:
+            seed = int(np.random.randint(0, 2**31 - 1))
+        key = jax.random.PRNGKey(seed if seed is not None else 0)
+        if diffusion_noise is not None:
+            noise = np.squeeze(np.asarray(diffusion_noise, np.float32))
+            if noise.ndim == 3:
+                noise = np.repeat(noise[None], batch_size, axis=0)
+        else:
+            noise = jax.random.normal(key, (batch_size, h8, w8, 4), jnp.float32)
+            noise = np.asarray(noise)
+
+        # ---- img2img / inpaint preprocessing --------------------------------------
+        strength = None
+        init_latent = None
+        image01 = pixel_mask = latent_mask = None
+        use_img2img = reference_image is not None and (0.0 < reference_image_strength < 1.0)
+        use_inpaint = inpaint_mask is not None
+        if use_inpaint:
+            pixel_mask, latent_mask = imaging.preprocess_mask(
+                inpaint_mask, self.img_height, self.img_width, mask_blur_strength
+            )
+        if use_img2img:
+            image01, image_tensor = imaging.preprocess_image(
+                reference_image, self.img_height, self.img_width
+            )
+            init_latent = np.asarray(
+                self._encode_image(image_tensor.astype(np.float32)), np.float32
+            )
+            strength = float(reference_image_strength)
+
+        schedule = sched_lib.build_denoise_schedule(
+            self.scheduler, num_steps, strength=strength, eta=eta
+        )
+        t_embs = sched_lib.timestep_embedding(schedule.timesteps)
+
+        if use_img2img:
+            t0 = int(schedule.timesteps[0])
+            latent0 = (
+                self.scheduler.signal_rates[t0] * np.repeat(init_latent, batch_size, axis=0)
+                + self.scheduler.noise_rates[t0] * noise
+            ).astype(np.float32)
+        else:
+            latent0 = noise
+
+        # ---- ControlNet hint ----------------------------------------------------------
+        hint = None
+        use_controls = False
+        if control_net_image is not None:
+            arr = imaging.load_image(control_net_image, "RGB")
+            arr = imaging.bilinear_resize(arr, self.img_height, self.img_width)
+            cn_img = (np.asarray(arr, np.float32) / 255.0)[None]
+            cn_img = np.tile(cn_img, (batch_size, 1, 1, 1))
+            hint = self._hint(cn_img.astype(np.float32))
+            use_controls = True
+
+        rows = {
+            k: getattr(schedule, k)
+            for k in ("sr_t", "nr_t", "sr_prev", "nr_prev", "sr_s", "nr_s",
+                      "c_denoised", "c_noise", "is_last")
+        }
+        inpaint_active = use_inpaint and init_latent is not None
+        image_u8, latent = sampler.generate(
+            self.unet_params,
+            self.vae_params,
+            jnp.asarray(latent0, dtype),
+            jnp.asarray(context, jnp.float32),
+            jnp.asarray(uncond_context, jnp.float32) if use_cfg else None,
+            jnp.asarray(t_embs, jnp.float32),
+            rows,
+            jnp.float32(unconditional_guidance_scale),
+            jnp.float32(guidance_rescale),
+            noise_key=jax.random.fold_in(key, 1),
+            controlnet_params=self.controlnet_params if use_controls else None,
+            hint=hint,
+            init_latent=jnp.asarray(np.repeat(init_latent, batch_size, axis=0), jnp.float32)
+            if inpaint_active else None,
+            latent_mask=jnp.asarray(latent_mask, jnp.float32) if inpaint_active else None,
+            blend_noise=jnp.asarray(noise, jnp.float32) if inpaint_active else None,
+            image_for_blend=jnp.asarray(image01, jnp.float32)
+            if (use_inpaint and image01 is not None) else None,
+            pixel_mask=jnp.asarray(pixel_mask, jnp.float32)
+            if (use_inpaint and image01 is not None) else None,
+            use_cfg=use_cfg,
+            active_tcd=schedule.active_tcd,
+            stochastic=schedule.active_tcd and eta > 0.0,
+            use_controls=use_controls,
+            use_inpaint=inpaint_active,
+        )
+        if callback is not None:
+            for i in range(schedule.num_steps):
+                callback(i + 1)
+        image = np.asarray(image_u8)
+        if return_latent:
+            return image, np.asarray(latent, np.float32)
+        return image
+
+    # ---- small jitted helpers --------------------------------------------------------
+
+    def _encode_image(self, image_tensor: np.ndarray):
+        params = self.vae_params
+
+        @jax.jit
+        def run(p, x):
+            return vae_lib.encode(p, x)
+
+        return run(params, jnp.asarray(image_tensor, self.compute_dtype)).astype(jnp.float32)
+
+    def _hint(self, cn_img: np.ndarray):
+        if self._hint_jit is None:
+            self._hint_jit = jax.jit(controlnet_lib.hint_net)
+        return self._hint_jit(self.controlnet_params, jnp.asarray(cn_img, self.compute_dtype))
+
+    @staticmethod
+    def _expand(text_embedding: np.ndarray, batch_size: int) -> np.ndarray:
+        text_embedding = np.squeeze(text_embedding)
+        if text_embedding.ndim == 2:
+            text_embedding = np.repeat(text_embedding[None], batch_size, axis=0)
+        return text_embedding

@@ -82,14 +82,22 @@ def generate(
     n_steps = t_embs.shape[0]
     batch = latent0.shape[0]
 
+    # The CFG pair is batched into one UNet call when cond/uncond context lengths
+    # match (the common case). LPW can legitimately produce different lengths
+    # (77 vs 154/231/308) — then fall back to two sequential calls, still inside the
+    # same jit (the reference always does two calls, :454-457).
+    cfg_batched = use_cfg and uncond_context.shape[1] == context.shape[1]
+    context = context.astype(compute_dtype)
     if use_cfg:
-        ctx_pair = jnp.concatenate([uncond_context, context], axis=0).astype(compute_dtype)
-        hint_pair = (
-            jnp.concatenate([hint, hint], axis=0).astype(compute_dtype) if use_controls else None
-        )
+        uncond_context = uncond_context.astype(compute_dtype)
+    if use_controls:
+        hint = hint.astype(compute_dtype)
+    if cfg_batched:
+        ctx_pair = jnp.concatenate([uncond_context, context], axis=0)
+        hint_pair = jnp.concatenate([hint, hint], axis=0) if use_controls else None
     else:
-        ctx_pair = context.astype(compute_dtype)
-        hint_pair = hint.astype(compute_dtype) if use_controls else None
+        ctx_pair = context
+        hint_pair = hint
 
     xs = {
         "t_emb": t_embs.astype(compute_dtype),
@@ -97,22 +105,27 @@ def generate(
         **{k: jnp.asarray(v, jnp.float32) for k, v in rows.items()},
     }
 
-    def unet_eps(latent, t_emb_row):
-        reps = 2 if use_cfg else 1
-        lat_in = jnp.concatenate([latent] * reps, axis=0) if use_cfg else latent
-        t_emb = jnp.broadcast_to(t_emb_row[None, :], (batch * reps, t_emb_row.shape[0]))
+    def one_pass(latent, t_emb, ctx, hint_in):
         controls = None
         if use_controls:
-            controls = controlnet_lib.apply(
-                controlnet_params, lat_in, t_emb, ctx_pair, hint_pair
-            )
-        eps = unet_lib.apply(unet_params, lat_in, t_emb, ctx_pair, controls=controls)
-        if use_cfg:
+            controls = controlnet_lib.apply(controlnet_params, latent, t_emb, ctx, hint_in)
+        return unet_lib.apply(unet_params, latent, t_emb, ctx, controls=controls)
+
+    def unet_eps(latent, t_emb_row):
+        t_emb1 = jnp.broadcast_to(t_emb_row[None, :], (batch, t_emb_row.shape[0]))
+        if not use_cfg:
+            return one_pass(latent, t_emb1, ctx_pair, hint_pair)
+        if cfg_batched:
+            lat_in = jnp.concatenate([latent, latent], axis=0)
+            t_emb2 = jnp.broadcast_to(t_emb_row[None, :], (2 * batch, t_emb_row.shape[0]))
+            eps = one_pass(lat_in, t_emb2, ctx_pair, hint_pair)
             uncond, cond = jnp.split(eps, 2, axis=0)
-            # reference :458: uncond + scale * (cond - uncond); then rescale :459-461
-            merged = uncond + guidance_scale.astype(eps.dtype) * (cond - uncond)
-            return rescale_noise_cfg(merged, cond, guidance_rescale.astype(eps.dtype))
-        return eps
+        else:
+            uncond = one_pass(latent, t_emb1, uncond_context, hint)
+            cond = one_pass(latent, t_emb1, context, hint)
+        # reference :458: uncond + scale * (cond - uncond); then rescale :459-461
+        merged = uncond + guidance_scale.astype(uncond.dtype) * (cond - uncond)
+        return rescale_noise_cfg(merged, cond, guidance_rescale.astype(uncond.dtype))
 
     def body(latent, step):
         eps = unet_eps(latent, step["t_emb"]).astype(jnp.float32)

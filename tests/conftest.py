@@ -16,8 +16,10 @@ _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
 os.environ.setdefault("KERAS_BACKEND", "tensorflow")
-# Quieter TF on the 1-core CI host.
+# Quieter TF on the 1-core CI host; disable oneDNN fast-math so the Keras oracle
+# computes in true fp32 (oneDNN's reduced precision is ~1% off on matmuls).
 os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
+os.environ["TF_ENABLE_ONEDNN_OPTS"] = "0"
 os.environ.setdefault("CUDA_VISIBLE_DEVICES", "-1")
 
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))

@@ -1,0 +1,154 @@
+"""Sampler correctness: the single-jit lax.scan program must equal an explicit
+per-step host loop built from the same UNet + host Scheduler (self-consistency), for
+DDIM / TCD / CFG / rescale / inpaint configurations."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from minsdtf_tpu import sampler
+from minsdtf_tpu import scheduler as sched_lib
+from minsdtf_tpu.models import unet as unet_lib
+
+H = W = 8  # latent size (64x64 image)
+B = 1
+# Scaled-down UNet: same structure/code as SD1.5, 10x narrower — the sampler logic
+# under test is width-independent, and the 1-core CI host can't trace the full model
+# repeatedly.
+SMALL = dict(widths=(32, 64, 128, 128), temb_dim=128)
+
+
+@pytest.fixture(scope="module")
+def unet_params():
+    return unet_lib.init_params(jax.random.PRNGKey(0), dtype=jnp.float32, scale=0.04, **SMALL)
+
+
+@pytest.fixture(scope="module")
+def vae_params():
+    from minsdtf_tpu.models import vae as vae_lib
+
+    return vae_lib.init_params(jax.random.PRNGKey(1), dtype=jnp.float32, scale=0.04)
+
+
+def _host_loop(unet_params, schedule, t_embs, latent, context, uncond, scale, rescale,
+               inpaint=None):
+    """Reference-shaped loop: per-step UNet calls + host scheduler math
+    (mirrors stable_diffusion.py:442-479)."""
+    apply = jax.jit(unet_lib.apply)
+    latent = np.asarray(latent, np.float32)
+    for i in range(schedule.num_steps):
+        t_emb = np.repeat(t_embs[i][None], B, axis=0)
+        if scale > 0:
+            e_u = np.asarray(apply(unet_params, latent, t_emb, uncond), np.float32)
+            e_c = np.asarray(apply(unet_params, latent, t_emb, context), np.float32)
+            eps = e_u + scale * (e_c - e_u)
+            if rescale > 0:
+                std_t = np.std(e_c, axis=(1, 2, 3), keepdims=True)
+                std_c = np.std(eps, axis=(1, 2, 3), keepdims=True) + 1e-5
+                eps = rescale * (eps * std_t / std_c) + (1 - rescale) * eps
+        else:
+            eps = np.asarray(apply(unet_params, latent, t_emb, context), np.float32)
+        x0 = (latent - schedule.nr_t[i] * eps) / schedule.sr_t[i]
+        if schedule.active_tcd:
+            new = schedule.sr_s[i] * x0 + schedule.nr_s[i] * eps
+        else:
+            new = x0 if schedule.is_last[i] else schedule.sr_prev[i] * x0 + schedule.nr_prev[i] * eps
+        if inpaint is not None:
+            init_latent, mask, bnoise = inpaint
+            origin = schedule.sr_t[i] * init_latent + schedule.nr_t[i] * bnoise
+            new = origin * (1 - mask) + new * mask
+        latent = new.astype(np.float32)
+    return latent
+
+
+def _run_sampler(unet_params, schedule, t_embs, latent0, context, uncond, scale, rescale,
+                 inpaint=None):
+    rows = {k: getattr(schedule, k) for k in (
+        "sr_t", "nr_t", "sr_prev", "nr_prev", "sr_s", "nr_s",
+        "c_denoised", "c_noise", "is_last")}
+    init_latent = mask = bnoise = None
+    if inpaint is not None:
+        init_latent, mask, bnoise = (jnp.asarray(x, jnp.float32) for x in inpaint)
+    _, latent = sampler.generate(
+        unet_params, None,
+        jnp.asarray(latent0, jnp.float32),
+        jnp.asarray(context, jnp.float32),
+        jnp.asarray(uncond, jnp.float32) if scale > 0 else None,
+        jnp.asarray(t_embs, jnp.float32),
+        rows,
+        jnp.float32(scale), jnp.float32(rescale),
+        noise_key=jax.random.PRNGKey(9),
+        init_latent=init_latent, latent_mask=mask, blend_noise=bnoise,
+        use_cfg=scale > 0,
+        active_tcd=schedule.active_tcd,
+        stochastic=False,
+        use_controls=False,
+        use_inpaint=inpaint is not None,
+        decode=False,
+    )
+    return np.asarray(latent, np.float32)
+
+
+def _setup(tcd, steps=3):
+    rng = np.random.RandomState(0)
+    sched = sched_lib.Scheduler(active_tcd=tcd)
+    schedule = sched_lib.build_denoise_schedule(sched, steps, eta=0.0 if tcd else 0.3)
+    t_embs = sched_lib.timestep_embedding(schedule.timesteps, dim=SMALL["widths"][0])
+    latent0 = rng.normal(0, 1, (B, H, W, 4)).astype(np.float32)
+    context = rng.normal(0, 1, (B, 77, 768)).astype(np.float32)
+    uncond = rng.normal(0, 1, (B, 77, 768)).astype(np.float32)
+    return schedule, t_embs, latent0, context, uncond
+
+
+@pytest.mark.parametrize("tcd,scale,rescale", [
+    (False, 7.5, 0.0),
+    (False, 7.5, 0.7),
+    (False, 0.0, 0.0),
+    (True, 2.0, 0.0),
+])
+def test_scan_matches_host_loop(unet_params, tcd, scale, rescale):
+    schedule, t_embs, latent0, context, uncond = _setup(tcd)
+    want = _host_loop(unet_params, schedule, t_embs, latent0, context, uncond, scale, rescale)
+    got = _run_sampler(unet_params, schedule, t_embs, latent0, context, uncond, scale, rescale)
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_scan_matches_host_loop_inpaint(unet_params):
+    schedule, t_embs, latent0, context, uncond = _setup(False)
+    rng = np.random.RandomState(5)
+    init_latent = rng.normal(0, 1, (B, H, W, 4)).astype(np.float32)
+    mask = (rng.uniform(0, 1, (B, H, W, 1)) > 0.5).astype(np.float32)
+    bnoise = rng.normal(0, 1, (B, H, W, 4)).astype(np.float32)
+    inpaint = (init_latent, mask, bnoise)
+    want = _host_loop(unet_params, schedule, t_embs, latent0, context, uncond, 7.5, 0.7, inpaint)
+    got = _run_sampler(unet_params, schedule, t_embs, latent0, context, uncond, 7.5, 0.7, inpaint)
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_unequal_context_lengths(unet_params):
+    """LPW long prompts: cond context 154 tokens, uncond 77 — two-call CFG path."""
+    schedule, t_embs, latent0, _, uncond = _setup(False, steps=2)
+    rng = np.random.RandomState(6)
+    context = rng.normal(0, 1, (B, 154, 768)).astype(np.float32)
+    want = _host_loop(unet_params, schedule, t_embs, latent0, context, uncond, 7.5, 0.0)
+    got = _run_sampler(unet_params, schedule, t_embs, latent0, context, uncond, 7.5, 0.0)
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_decode_path(unet_params, vae_params):
+    """decode=True returns uint8 images of the right shape and the final latent."""
+    schedule, t_embs, latent0, context, uncond = _setup(False, steps=2)
+    rows = {k: getattr(schedule, k) for k in (
+        "sr_t", "nr_t", "sr_prev", "nr_prev", "sr_s", "nr_s",
+        "c_denoised", "c_noise", "is_last")}
+    img, latent = sampler.generate(
+        unet_params, vae_params,
+        jnp.asarray(latent0), jnp.asarray(context), jnp.asarray(uncond),
+        jnp.asarray(t_embs), rows,
+        jnp.float32(7.5), jnp.float32(0.0),
+        use_cfg=True, active_tcd=False, stochastic=False,
+        use_controls=False, use_inpaint=False, decode=True,
+    )
+    assert img.shape == (B, H * 8, W * 8, 3) and img.dtype == jnp.uint8
+    assert latent.shape == latent0.shape
