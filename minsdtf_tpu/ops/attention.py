@@ -28,7 +28,7 @@ def set_impl(impl: str) -> None:
     _IMPL = impl
 
 
-def _pick_impl(q_len: int, kv_len: int, head_dim: int) -> str:
+def _pick_impl(q_len: int, kv_len: int, head_dim: int, causal: bool) -> str:
     if _IMPL != "auto":
         return _IMPL
     try:
@@ -39,7 +39,7 @@ def _pick_impl(q_len: int, kv_len: int, head_dim: int) -> str:
         return "xla"
     from minsdtf_tpu.ops import flash_attention as fa
 
-    return "pallas" if fa.supports(q_len, kv_len, head_dim) else "xla"
+    return "pallas" if fa.supports(q_len, kv_len, head_dim, causal) else "xla"
 
 
 def multi_head_attention(
@@ -62,7 +62,7 @@ def multi_head_attention(
     if scale is None:
         scale = float(d) ** -0.5
 
-    impl = _pick_impl(sq, sk, d)
+    impl = _pick_impl(sq, sk, d, causal)
     qh = q.reshape(b, sq, num_heads, d)
     kh = k.reshape(b, sk, num_heads, d)
     vh = v.reshape(b, sk, num_heads, d)

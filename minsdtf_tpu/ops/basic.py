@@ -86,8 +86,24 @@ def group_norm(x: jax.Array, p: dict, num_groups: int = 32, eps: float = 1e-5) -
 
 
 def group_norm_silu(x: jax.Array, p: dict, num_groups: int = 32, eps: float = 1e-5) -> jax.Array:
-    """Fused GroupNorm + SiLU — the prologue of every ResBlock conv. XLA fuses the
-    elementwise tail into one pass; a Pallas kernel can override this hot path."""
+    """Fused GroupNorm + SiLU — the prologue of every ResBlock conv.
+
+    Default is the XLA path (fuses the elementwise tail); set MINSDTF_GN_IMPL=pallas
+    to route supported shapes through the single-pass Pallas kernel
+    (:mod:`minsdtf_tpu.ops.groupnorm`)."""
+    import os
+
+    if os.environ.get("MINSDTF_GN_IMPL") == "pallas" and x.ndim == 4:
+        from minsdtf_tpu.ops import groupnorm as gn
+
+        try:
+            on_tpu = jax.devices()[0].platform == "tpu"
+        except Exception:
+            on_tpu = False
+        if on_tpu and gn.supports(x.shape, x.dtype, num_groups):
+            return gn.group_norm_pallas(
+                x, p["scale"], p["bias"], num_groups=num_groups, eps=eps, with_silu=True
+            )
     h = group_norm(x, p, num_groups=num_groups, eps=eps)
     return h * jax.nn.sigmoid(h)
 

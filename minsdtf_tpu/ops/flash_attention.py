@@ -1,18 +1,122 @@
-"""Pallas TPU flash attention (blockwise online softmax).
+"""Pallas TPU flash attention: blockwise online-softmax, scores never leave VMEM.
 
-Placeholder gate for now — the kernel lands in the perf pass. ``supports`` returning
-False routes everything through the XLA path, so correctness never depends on this
-module.
+Why: the UNet's self-attention at 512x512 runs over S=4096 tokens; the reference
+materializes (B, 8, 4096, 4096) score tensors through HBM
+(``diffusion_model.py:123-126``). This kernel streams K/V blocks through VMEM with
+running (m, l, acc) statistics — O(S) HBM traffic instead of O(S²) — and scales to
+the 2048px image sizes the reference GUI exposes (65k tokens) where the einsum path
+simply OOMs.
+
+Shape coverage (SD1.5): head_dim ∈ {40, 80, 160} (Mosaic pads the lane dim
+internally), q_len ∈ {64..65536}, kv_len either equal to q_len (self-attn) or the
+77·m text context (cross-attn, single K block). The CLIP causal path stays on XLA
+(77 tokens — nothing to win). Softmax statistics are fp32 regardless of input dtype.
 """
 
 from __future__ import annotations
 
+import functools
+from typing import Optional
+
 import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+DEFAULT_BLOCK_Q = 256
+DEFAULT_BLOCK_K = 512
+NEG_INF = -1e30
 
 
-def supports(q_len: int, kv_len: int, head_dim: int) -> bool:
-    return False
+def supports(q_len: int, kv_len: int, head_dim: int, causal: bool = False) -> bool:
+    if causal:
+        return False
+    block_q = min(DEFAULT_BLOCK_Q, q_len)
+    if q_len % block_q != 0:
+        return False
+    if kv_len > DEFAULT_BLOCK_K and kv_len % DEFAULT_BLOCK_K != 0:
+        return False
+    return True
 
 
-def flash_attention(q, k, v, scale: float, causal: bool = False) -> jax.Array:
-    raise NotImplementedError("Pallas flash attention not implemented yet")
+def _kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *, scale: float, kv_blocks: int):
+    """Grid (BH, q_blocks, kv_blocks); kv is the minor (sequential) axis, so the
+    scratch accumulators carry the online-softmax state across kv steps."""
+    ik = pl.program_id(2)
+
+    @pl.when(ik == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    q = q_ref[0]  # (block_q, d)
+    k = k_ref[0]  # (block_k, d)
+    v = v_ref[0]
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale  # (block_q, block_k)
+
+    m_prev = m_scr[:]                   # (block_q, 1)
+    m_cur = jnp.max(s, axis=1, keepdims=True)
+    m_new = jnp.maximum(m_prev, m_cur)
+    p = jnp.exp(s - m_new)              # (block_q, block_k) fp32
+    correction = jnp.exp(m_prev - m_new)
+    l_new = correction * l_scr[:] + jnp.sum(p, axis=1, keepdims=True)
+    pv = jax.lax.dot_general(
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    acc_scr[:] = acc_scr[:] * correction + pv
+    m_scr[:] = m_new
+    l_scr[:] = l_new
+
+    @pl.when(ik == kv_blocks - 1)
+    def _finalize():
+        o_ref[0] = (acc_scr[:] / l_scr[:]).astype(o_ref.dtype)
+
+
+def flash_attention(
+    q: jax.Array,  # (B, Sq, H, D)
+    k: jax.Array,  # (B, Sk, H, D)
+    v: jax.Array,
+    scale: float,
+    causal: bool = False,
+    block_q: int = DEFAULT_BLOCK_Q,
+    block_k: int = DEFAULT_BLOCK_K,
+    interpret: bool = False,
+) -> jax.Array:
+    assert not causal, "causal path uses XLA (see ops.attention)"
+    b, sq, h, d = q.shape
+    sk = k.shape[1]
+    block_q = min(block_q, sq)
+    block_k = min(block_k, sk)
+    assert sq % block_q == 0 and (sk == block_k or sk % block_k == 0)
+    kv_blocks = pl.cdiv(sk, block_k)
+
+    # (B, S, H, D) -> (B*H, S, D): each batch-head row is an independent instance.
+    def fold(x, s):
+        return x.transpose(0, 2, 1, 3).reshape(b * h, s, x.shape[-1])
+
+    qf, kf, vf = fold(q, sq), fold(k, sk), fold(v, sk)
+
+    grid = (b * h, sq // block_q, kv_blocks)
+    out = pl.pallas_call(
+        functools.partial(_kernel, scale=scale, kv_blocks=kv_blocks),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda ibh, iq, ik: (ibh, iq, 0)),
+            pl.BlockSpec((1, block_k, d), lambda ibh, iq, ik: (ibh, ik, 0)),
+            pl.BlockSpec((1, block_k, d), lambda ibh, iq, ik: (ibh, ik, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d), lambda ibh, iq, ik: (ibh, iq, 0)),
+        out_shape=jax.ShapeDtypeStruct((b * h, sq, d), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, d), jnp.float32),
+        ],
+        interpret=interpret,
+    )(qf, kf, vf)
+
+    return out.reshape(b, h, sq, d).transpose(0, 2, 1, 3)

@@ -33,7 +33,12 @@ def denoising_loss(unet_params, batch: TrainBatch, signal_rates, noise_rates) ->
     sr = signal_rates[batch.timesteps][:, None, None, None].astype(batch.latents.dtype)
     nr = noise_rates[batch.timesteps][:, None, None, None].astype(batch.latents.dtype)
     noised = sr * batch.latents + nr * batch.noise
-    t_emb = sched_lib.timestep_embedding_traced(batch.timesteps).astype(batch.latents.dtype)
+    # timestep-embedding dim is defined by the UNet's first time-embedding kernel
+    # (320 for SD1.5; smaller for test-width models)
+    t_dim = unet_params["time_embedding.linear_1"]["kernel"].shape[0]
+    t_emb = sched_lib.timestep_embedding_traced(batch.timesteps, dim=t_dim).astype(
+        batch.latents.dtype
+    )
     eps = unet_lib.apply(unet_params, noised, t_emb, batch.context)
     return jnp.mean(jnp.square(eps.astype(jnp.float32) - batch.noise.astype(jnp.float32)))
 
