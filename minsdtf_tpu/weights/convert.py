@@ -40,6 +40,14 @@ Params = Dict[str, Dict[str, np.ndarray]]
 def read_state_dict(path: str) -> StateDict:
     """Read a checkpoint file into a {torch_key: float32 numpy} dict."""
     if path.endswith(".safetensors"):
+        from minsdtf_tpu.weights import native_io
+
+        if native_io.available():
+            try:
+                return native_io.read_state_dict_native(path)
+            except Exception as e:  # fall through to the python reader
+                print(f"native reader failed ({e}); using python fallback")
+
         from safetensors import safe_open
 
         try:

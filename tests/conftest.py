@@ -22,6 +22,13 @@ os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
 os.environ["TF_ENABLE_ONEDNN_OPTS"] = "0"
 os.environ.setdefault("CUDA_VISIBLE_DEVICES", "-1")
 
+# A pytest plugin imports jax before this conftest runs, so the env-var defaults are
+# already latched into jax.config — override the config directly (the backend itself
+# initializes lazily, so this still takes effect).
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if REPO_ROOT not in sys.path:
     sys.path.insert(0, REPO_ROOT)
