@@ -104,21 +104,20 @@ class StableDiffusion:
 
     # ---- lazy weights -----------------------------------------------------------
 
-    def _load_or_init(self, path, convert_fn, init_fn, name, seed, **kw):
+    def _load_or_init(self, path, kind, init_fn, seed, lora=None):
         if path is not None and os.path.exists(str(path)):
-            print(f"{name}: converting weights from {os.path.basename(str(path))}")
-            return convert_fn(str(path), **kw)
+            print(f"{kind}: converting weights from {os.path.basename(str(path))}")
+            return convert.convert_cached(kind, str(path), lora=lora)
         if path is not None:
-            raise FileNotFoundError(f"{name}: checkpoint not found: {path}")
-        print(f"{name}: no checkpoint given — using seeded random init (no-network env)")
+            raise FileNotFoundError(f"{kind}: checkpoint not found: {path}")
+        print(f"{kind}: no checkpoint given — using seeded random init (no-network env)")
         return init_fn(jax.random.PRNGKey(seed))
 
     @property
     def unet_params(self):
         if self._unet_params is None:
             self._unet_params = self._shard(self._load_or_init(
-                self.unet_ckpt, convert.convert_unet, unet_lib.init_params,
-                "unet", 0, lora=self.unet_lora,
+                self.unet_ckpt, "unet", unet_lib.init_params, 0, lora=self.unet_lora,
             ))
         return self._unet_params
 
@@ -126,8 +125,8 @@ class StableDiffusion:
     def text_params(self):
         if self._text_params is None:
             self._text_params = self._shard(self._load_or_init(
-                self.text_encoder_ckpt, convert.convert_text_encoder, clip_lib.init_params,
-                "text_encoder", 1, lora=self.text_encoder_lora,
+                self.text_encoder_ckpt, "text_encoder", clip_lib.init_params, 1,
+                lora=self.text_encoder_lora,
             ))
         return self._text_params
 
@@ -135,7 +134,7 @@ class StableDiffusion:
     def vae_params(self):
         if self._vae_params is None:
             self._vae_params = self._shard(self._load_or_init(
-                self.vae_ckpt, convert.convert_vae, vae_lib.init_params, "vae", 2,
+                self.vae_ckpt, "vae", vae_lib.init_params, 2,
             ))
         return self._vae_params
 
@@ -143,8 +142,7 @@ class StableDiffusion:
     def controlnet_params(self):
         if self._controlnet_params is None and self.controlnet_path is not None:
             self._controlnet_params = self._shard(self._load_or_init(
-                self.controlnet_path, convert.convert_controlnet,
-                controlnet_lib.init_params, "controlnet", 3,
+                self.controlnet_path, "controlnet", controlnet_lib.init_params, 3,
             ))
         return self._controlnet_params
 
@@ -397,7 +395,7 @@ class StableDiffusion:
         t_embs = sched_lib.timestep_embedding(schedule.timesteps)
 
         if use_img2img:
-            t0 = int(schedule.timesteps[0])
+            t0 = schedule.init_timestep
             latent0 = (
                 self.scheduler.signal_rates[t0] * np.repeat(init_latent, batch_size, axis=0)
                 + self.scheduler.noise_rates[t0] * noise

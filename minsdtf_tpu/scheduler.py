@@ -259,6 +259,11 @@ class DenoiseSchedule:
     is_last: np.ndarray          # (n,) float32 {0,1}
     active_tcd: bool
     eta: float
+    # img2img: the timestep at which the init latent is noised. The reference uses
+    # ascending[k] — one step ABOVE the first iterated step (stable_diffusion.py:414:
+    # `init_time = timesteps[num_steps]` after ascending reversal) — NOT the first
+    # iterated timestep itself.
+    init_timestep: int = 0
 
     @property
     def num_steps(self) -> int:
@@ -285,9 +290,12 @@ def build_denoise_schedule(
     n = len(full)
     if strength is not None and 0.0 < strength < 1.0:
         k = int(num_steps * strength + 0.5)
-        start = n - k
+        start = max(0, n - k)
     else:
         start = 0
+    # Reference semantics: init noising at descending[start-1] (== ascending[k]); the
+    # reference indexes out of bounds when k == n, so clamp to the top of the schedule.
+    init_timestep = int(full[start - 1]) if start > 0 else int(full[0])
 
     acp = scheduler.alphas_cumprod
     rows_t, rows = [], {k: [] for k in (
@@ -315,6 +323,7 @@ def build_denoise_schedule(
         timesteps=np.asarray(rows_t, dtype=np.int32),
         active_tcd=scheduler.active_tcd,
         eta=eta,
+        init_timestep=init_timestep,
         **{k: np.asarray(v, dtype=np.float32) for k, v in rows.items()},
     )
 

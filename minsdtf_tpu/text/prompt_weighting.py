@@ -33,7 +33,7 @@ SQUARE_MULTIPLIER = 1 / 1.1
 
 
 def parse_prompt_attention(text: str) -> List[List[Union[str, float]]]:
-    """Parse A1111 attention syntax into [text, weight] pairs.
+    r"""Parse A1111 attention syntax into [text, weight] pairs.
 
     >>> parse_prompt_attention('normal text')
     [['normal text', 1.0]]

@@ -154,6 +154,45 @@ def _build_params(
     return params
 
 
+# ---- converted-pytree cache -------------------------------------------------------------
+
+CONVERTERS = {}
+
+
+def convert_cached(kind: str, path: str, lora: Optional[StateDict] = None,
+                   use_cache: Optional[bool] = None) -> Params:
+    """Convert with an on-disk msgpack cache next to the checkpoint.
+
+    The reference re-reads and re-maps the torch checkpoint on every model
+    construction (ckpt_loader.py:2136); here the converted fp32 pytree is cached as
+    ``<ckpt>.minsdtf-<kind>.msgpack`` (flax serialization) and reloaded directly —
+    torch/safetensors parsing happens once per file. LoRA-merged loads are not
+    cached (the merge is cheap and lora files vary). Disable with
+    MINSDTF_NO_CACHE=1 or use_cache=False.
+    """
+    import flax.serialization as fser
+
+    if use_cache is None:
+        use_cache = os.environ.get("MINSDTF_NO_CACHE") != "1"
+    fn = CONVERTERS[kind]
+    if lora is not None or not use_cache:
+        return fn(path) if lora is None else fn(path, lora=lora)
+    cache_path = f"{path}.minsdtf-{kind}.msgpack"
+    try:
+        if os.path.exists(cache_path) and os.path.getmtime(cache_path) >= os.path.getmtime(path):
+            with open(cache_path, "rb") as f:
+                return fser.msgpack_restore(f.read())
+    except Exception as e:
+        print(f"pytree cache read failed ({e}); reconverting")
+    params = fn(path)
+    try:
+        with open(cache_path, "wb") as f:
+            f.write(fser.msgpack_serialize(params))
+    except Exception as e:
+        print(f"pytree cache write failed ({e})")
+    return params
+
+
 # ---- per-model entry points ------------------------------------------------------------
 
 
@@ -190,6 +229,14 @@ def convert_controlnet(source) -> Params:
     if any(k.startswith("control_model.") for k in sd):
         sd = _renamed(sd, mapping.controlnet_ldm_to_diffusers())
     return _build_params(sd, controlnet_lib.param_specs())
+
+
+CONVERTERS.update({
+    "unet": convert_unet,
+    "vae": convert_vae,
+    "text_encoder": convert_text_encoder,
+    "controlnet": convert_controlnet,
+})
 
 
 def _text_encoder_specs() -> Dict[str, Dict[str, tuple]]:

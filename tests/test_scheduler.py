@@ -120,6 +120,8 @@ def test_img2img_truncated_schedule():
     full.set_timesteps(n)
     np.testing.assert_array_equal(dev.timesteps, full.timesteps[n - k:])
     assert dev.is_last[-1] == 1.0 and dev.is_last[:-1].sum() == 0.0
+    # init noising at ascending[k] == descending[n-k-1] (stable_diffusion.py:414)
+    assert dev.init_timestep == full.timesteps[n - k - 1]
 
 
 def test_timestep_embedding_matches_reference_formula():
