@@ -420,6 +420,8 @@ class StableDiffusion:
                       "c_denoised", "c_noise", "is_last")
         }
         inpaint_active = use_inpaint and init_latent is not None
+        if callback is not None:
+            sampler.set_progress_callback(callback)
         image_u8, latent = sampler.generate(
             self.unet_params,
             self.vae_params,
@@ -446,11 +448,11 @@ class StableDiffusion:
             stochastic=schedule.active_tcd and eta > 0.0,
             use_controls=use_controls,
             use_inpaint=inpaint_active,
+            with_progress=callback is not None,
         )
-        if callback is not None:
-            for i in range(schedule.num_steps):
-                callback(i + 1)
         image = np.asarray(image_u8)
+        if callback is not None:
+            sampler.set_progress_callback(None)
         if return_latent:
             return image, np.asarray(latent, np.float32)
         return image

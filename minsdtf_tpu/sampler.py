@@ -31,6 +31,23 @@ from minsdtf_tpu.models import unet as unet_lib
 from minsdtf_tpu.models import vae as vae_lib
 
 
+# Progress reporting from inside the jitted scan (reference drives a Progbar +
+# user callback per step on the host, stable_diffusion.py:424,477-479). The callback
+# is host state, not a traced value: pipeline registers it here and the scan body
+# emits step indices through jax.debug.callback when `with_progress` is set.
+_progress_callback = None
+
+
+def set_progress_callback(fn) -> None:
+    global _progress_callback
+    _progress_callback = fn
+
+
+def _emit_progress(idx) -> None:
+    if _progress_callback is not None:
+        _progress_callback(int(idx) + 1)
+
+
 def rescale_noise_cfg(noise_cfg, noise_pred_text, guidance_rescale, epsilon=1e-5):
     """Std-matching CFG rescale (reference ``stable_diffusion.py:304-315``).
 
@@ -47,6 +64,7 @@ def rescale_noise_cfg(noise_cfg, noise_pred_text, guidance_rescale, epsilon=1e-5
     jax.jit,
     static_argnames=(
         "use_cfg", "active_tcd", "stochastic", "use_controls", "use_inpaint", "decode",
+        "with_progress",
     ),
     donate_argnames=("latent0",),
 )
@@ -75,6 +93,7 @@ def generate(
     use_controls: bool,
     use_inpaint: bool,
     decode: bool = True,
+    with_progress: bool = False,
 ):
     """Run the full denoise(+decode) program. Returns ``(image_uint8, latent)`` when
     ``decode`` else ``(None, latent)``."""
@@ -150,6 +169,8 @@ def generate(
             origin = step["sr_t"] * init_latent.astype(jnp.float32) + step["nr_t"] * blend_noise.astype(jnp.float32)
             m = latent_mask.astype(jnp.float32)
             new = origin * (1.0 - m) + new * m
+        if with_progress:
+            jax.debug.callback(_emit_progress, step["idx"], ordered=False)
         return new.astype(compute_dtype), None
 
     latent, _ = jax.lax.scan(body, latent0, xs)

@@ -136,6 +136,30 @@ def test_unequal_context_lengths(unet_params):
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
 
 
+def test_progress_callback(unet_params):
+    """with_progress emits one callback per scan step from inside the jit."""
+    schedule, t_embs, latent0, context, uncond = _setup(False, steps=3)
+    rows = {k: getattr(schedule, k) for k in (
+        "sr_t", "nr_t", "sr_prev", "nr_prev", "sr_s", "nr_s",
+        "c_denoised", "c_noise", "is_last")}
+    seen = []
+    sampler.set_progress_callback(seen.append)
+    try:
+        _, latent = sampler.generate(
+            unet_params, None,
+            jnp.asarray(latent0), jnp.asarray(context), jnp.asarray(uncond),
+            jnp.asarray(t_embs), rows,
+            jnp.float32(7.5), jnp.float32(0.0),
+            use_cfg=True, active_tcd=False, stochastic=False,
+            use_controls=False, use_inpaint=False, decode=False, with_progress=True,
+        )
+        jax.block_until_ready(latent)
+        jax.effects_barrier()
+    finally:
+        sampler.set_progress_callback(None)
+    assert sorted(seen) == [1, 2, 3]
+
+
 def test_decode_path(unet_params, vae_params):
     """decode=True returns uint8 images of the right shape and the final latent."""
     schedule, t_embs, latent0, context, uncond = _setup(False, steps=2)
