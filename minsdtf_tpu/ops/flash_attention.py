@@ -23,20 +23,37 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-DEFAULT_BLOCK_Q = 256
-DEFAULT_BLOCK_K = 512
 NEG_INF = -1e30
+# Scores-block VMEM budget. Bigger blocks = fewer grid steps (per-step overhead is
+# what dominates at head_dim 40); 6 MB of fp32 scores + K/V blocks + accumulators
+# stays within the ~16 MB VMEM.
+SCORES_BUDGET_BYTES = 6 * 1024 * 1024
+MAX_BLOCK_K = 2048
+MAX_BLOCK_Q = 2048
+
+
+def _pick_blocks(q_len: int, kv_len: int):
+    """(block_q, block_k) maximizing work per grid step under the VMEM budget."""
+    block_k = kv_len
+    if block_k > MAX_BLOCK_K:
+        block_k = MAX_BLOCK_K
+        while kv_len % block_k != 0 and block_k > 128:
+            block_k //= 2
+    budget_q = SCORES_BUDGET_BYTES // (4 * block_k)
+    pow2 = 128
+    while pow2 * 2 <= min(budget_q, MAX_BLOCK_Q):
+        pow2 *= 2
+    block_q = min(q_len, pow2)
+    while q_len % block_q != 0 and block_q > 64:
+        block_q //= 2
+    return block_q, block_k
 
 
 def supports(q_len: int, kv_len: int, head_dim: int, causal: bool = False) -> bool:
     if causal:
         return False
-    block_q = min(DEFAULT_BLOCK_Q, q_len)
-    if q_len % block_q != 0:
-        return False
-    if kv_len > DEFAULT_BLOCK_K and kv_len % DEFAULT_BLOCK_K != 0:
-        return False
-    return True
+    block_q, block_k = _pick_blocks(q_len, kv_len)
+    return q_len % block_q == 0 and (kv_len == block_k or kv_len % block_k == 0)
 
 
 def _kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *, scale: float, kv_blocks: int):
@@ -86,15 +103,12 @@ def flash_attention(
     v: jax.Array,
     scale: float,
     causal: bool = False,
-    block_q: int = DEFAULT_BLOCK_Q,
-    block_k: int = DEFAULT_BLOCK_K,
     interpret: bool = False,
 ) -> jax.Array:
     assert not causal, "causal path uses XLA (see ops.attention)"
     b, sq, h, d = q.shape
     sk = k.shape[1]
-    block_q = min(block_q, sq)
-    block_k = min(block_k, sk)
+    block_q, block_k = _pick_blocks(sq, sk)
     assert sq % block_q == 0 and (sk == block_k or sk % block_k == 0)
     kv_blocks = pl.cdiv(sk, block_k)
 

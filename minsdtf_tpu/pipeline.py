@@ -46,6 +46,17 @@ MAX_PROMPT_LENGTH = 77
 PAD_TOKEN_ID = 49407
 BOS_TOKEN_ID = 49406
 
+# Persistent compilation cache: the sampler program is large (whole denoise loop);
+# caching makes process restarts start in seconds instead of minutes.
+if not os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir", os.path.expanduser("~/.cache/minsdtf-jax")
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass
+
 
 def _default_dtype():
     try:
@@ -107,11 +118,28 @@ class StableDiffusion:
     def _load_or_init(self, path, kind, init_fn, seed, lora=None):
         if path is not None and os.path.exists(str(path)):
             print(f"{kind}: converting weights from {os.path.basename(str(path))}")
-            return convert.convert_cached(kind, str(path), lora=lora)
-        if path is not None:
+            params = convert.convert_cached(kind, str(path), lora=lora)
+        elif path is not None:
             raise FileNotFoundError(f"{kind}: checkpoint not found: {path}")
-        print(f"{kind}: no checkpoint given — using seeded random init (no-network env)")
-        return init_fn(jax.random.PRNGKey(seed))
+        else:
+            print(f"{kind}: no checkpoint given — using seeded random init (no-network env)")
+            params = init_fn(jax.random.PRNGKey(seed))
+        return self._cast(params)
+
+    def _cast(self, params):
+        """Matmul/conv weights live in the compute dtype (bf16 in production: halves
+        weight HBM traffic and avoids per-step casts inside the scan); norm
+        scale/bias stay fp32 — the norm ops compute fp32 statistics anyway."""
+        if self.compute_dtype == jnp.float32:
+            return params
+        out = {}
+        for module, leaves in params.items():
+            out[module] = {
+                leaf: (jnp.asarray(v).astype(self.compute_dtype)
+                       if leaf in ("kernel", "embedding") else jnp.asarray(v))
+                for leaf, v in leaves.items()
+            }
+        return out
 
     @property
     def unet_params(self):
