@@ -37,15 +37,25 @@ def supports(shape, dtype, num_groups: int = 32) -> bool:
     return bytes_needed < VMEM_BUDGET
 
 
-def _kernel(x_ref, scale_ref, bias_ref, o_ref, *, num_groups: int, eps: float, with_silu: bool):
+def _kernel(x_ref, scale_ref, bias_ref, mask_ref, o_ref, *, num_groups: int, eps: float,
+            with_silu: bool):
+    """Group stats via matmuls against the constant channel->group one-hot mask
+    (Mosaic does not support reshaping the lane axis into (groups, gsize))."""
     x = x_ref[0].astype(jnp.float32)  # (HW, C)
     hw, c = x.shape
-    gsize = c // num_groups
-    xg = x.reshape(hw, num_groups, gsize)
-    mean = jnp.mean(xg, axis=(0, 2), keepdims=True)
-    var = jnp.mean(jnp.square(xg - mean), axis=(0, 2), keepdims=True)
-    xn = ((xg - mean) * jax.lax.rsqrt(var + eps)).reshape(hw, c)
-    out = xn * scale_ref[:].astype(jnp.float32) + bias_ref[:].astype(jnp.float32)
+    mask = mask_ref[:]                # (C, G) one-hot group membership
+    n = jnp.float32(hw * (c // num_groups))
+    s_c = jnp.sum(x, axis=0, keepdims=True)            # (1, C)
+    q_c = jnp.sum(x * x, axis=0, keepdims=True)
+    s_g = jnp.dot(s_c, mask, preferred_element_type=jnp.float32)   # (1, G)
+    q_g = jnp.dot(q_c, mask, preferred_element_type=jnp.float32)
+    mean_g = s_g / n
+    var_g = q_g / n - mean_g * mean_g
+    inv_g = jax.lax.rsqrt(var_g + eps)
+    # broadcast per-group stats back to channels: (1, G) @ (G, C)
+    mean_c = jnp.dot(mean_g, mask.T, preferred_element_type=jnp.float32)
+    inv_c = jnp.dot(inv_g, mask.T, preferred_element_type=jnp.float32)
+    out = (x - mean_c) * inv_c * scale_ref[:].astype(jnp.float32) + bias_ref[:].astype(jnp.float32)
     if with_silu:
         out = out * jax.nn.sigmoid(out)
     o_ref[0] = out.astype(o_ref.dtype)
@@ -63,6 +73,8 @@ def group_norm_pallas(
     """x: (B, H, W, C) NHWC -> same shape; per-image grid step."""
     b, h, w, c = x.shape
     xf = x.reshape(b, h * w, c)
+    mask = jnp.zeros((c, num_groups), jnp.float32)
+    mask = mask.at[jnp.arange(c), jnp.arange(c) // (c // num_groups)].set(1.0)
     out = pl.pallas_call(
         functools.partial(_kernel, num_groups=num_groups, eps=eps, with_silu=with_silu),
         grid=(b,),
@@ -70,9 +82,10 @@ def group_norm_pallas(
             pl.BlockSpec((1, h * w, c), lambda i: (i, 0, 0)),
             pl.BlockSpec((c,), lambda i: (0,)),
             pl.BlockSpec((c,), lambda i: (0,)),
+            pl.BlockSpec((c, num_groups), lambda i: (0, 0)),
         ],
         out_specs=pl.BlockSpec((1, h * w, c), lambda i: (i, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((b, h * w, c), x.dtype),
         interpret=interpret,
-    )(xf, scale, bias)
+    )(xf, scale, bias, mask)
     return out.reshape(b, h, w, c)
