@@ -81,13 +81,11 @@ def _kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *, scale: float, 
     m_prev = m_scr[:]                   # (block_q, 1)
     m_cur = jnp.max(s, axis=1, keepdims=True)
     m_new = jnp.maximum(m_prev, m_cur)
-    # exp runs in the compute dtype: s - m_new <= 0 so bf16 exp stays in [0, 1] with
-    # ~0.4% relative error (production); fp32 inputs keep exact fp32 (parity).
-    p = jnp.exp((s - m_new).astype(v.dtype))  # (block_q, block_k)
+    p = jnp.exp(s - m_new)              # (block_q, block_k) fp32
     correction = jnp.exp(m_prev - m_new)
-    l_new = correction * l_scr[:] + jnp.sum(p.astype(jnp.float32), axis=1, keepdims=True)
+    l_new = correction * l_scr[:] + jnp.sum(p, axis=1, keepdims=True)
     pv = jax.lax.dot_general(
-        p, v, (((1,), (0,)), ((), ())),
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32, precision=prec,
     )
     acc_scr[:] = acc_scr[:] * correction + pv
