@@ -82,35 +82,41 @@ def apply(
     return tuple(outs)
 
 
-def param_specs() -> dict:
-    """Shape spec: UNet down+mid modules + hint branch + zero convs."""
-    unet_specs = unet_lib.param_specs()
+def param_specs(widths=unet_lib.BLOCK_WIDTHS, temb_dim: int = 1280) -> dict:
+    """Shape spec: UNet down+mid modules + hint branch + zero convs. ``widths``
+    scales down for tests exactly like :func:`unet.param_specs`."""
+    unet_specs = unet_lib.param_specs(widths=widths, temb_dim=temb_dim)
     keep_prefixes = ("time_embedding", "conv_in", "down_blocks", "mid_block")
     specs = {k: v for k, v in unet_specs.items() if k.startswith(keep_prefixes)}
 
     def convs(name, cin, cout, k):
         specs[name] = {"kernel": (k, k, cin, cout), "bias": (cout,)}
 
+    hint_widths = HINT_WIDTHS if widths == unet_lib.BLOCK_WIDTHS else (
+        tuple(max(4, w // 8) for w in HINT_WIDTHS[:-1]) + (widths[0],)
+    )
     cin = 3
     names = ["controlnet_cond_embedding.conv_in"] + [
         f"controlnet_cond_embedding.blocks.{i}" for i in range(6)
     ] + ["controlnet_cond_embedding.conv_out"]
-    for name, w in zip(names, HINT_WIDTHS):
+    for name, w in zip(names, hint_widths):
         convs(name, cin, w, 3)
         cin = w
 
-    for i, c in enumerate(CONTROL_CHANNELS[:12]):
+    w0, w1, w2, w3 = widths
+    control_channels = (w0, w0, w0, w0, w1, w1, w1, w2, w2, w2, w3, w3)
+    for i, c in enumerate(control_channels):
         convs(f"controlnet_down_blocks.{i}", c, c, 1)
-    convs("controlnet_mid_block", 1280, 1280, 1)
+    convs("controlnet_mid_block", w3, w3, 1)
     return specs
 
 
-def init_params(rng: jax.Array, dtype=jnp.float32, scale: float = 0.02) -> dict:
+def init_params(rng: jax.Array, dtype=jnp.float32, scale: float = 0.02, **spec_kw) -> dict:
     import numpy as np
 
     rs = np.random.RandomState(np.asarray(jax.random.key_data(rng)).ravel()[-1] % (2**31))
     params = {}
-    for name, leaves in param_specs().items():
+    for name, leaves in param_specs(**spec_kw).items():
         params[name] = {}
         for leaf, shape in leaves.items():
             if leaf == "scale":

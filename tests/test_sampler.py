@@ -136,6 +136,48 @@ def test_unequal_context_lengths(unet_params):
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
 
 
+def test_scan_with_controlnet(unet_params):
+    """use_controls: HintNet+ControlNet residuals inside the scan equal the explicit
+    per-step loop (controlnet called per step, hint computed once — reference
+    stable_diffusion.py:439-452)."""
+    from minsdtf_tpu.models import controlnet as cn_lib
+
+    cn_params = cn_lib.init_params(jax.random.PRNGKey(3), scale=0.04, **SMALL)
+    schedule, t_embs, latent0, context, uncond = _setup(False, steps=2)
+    rng = np.random.RandomState(7)
+    hint = rng.normal(0, 0.5, (B, H, W, SMALL["widths"][0])).astype(np.float32)
+
+    # explicit loop
+    apply = jax.jit(unet_lib.apply)
+    cn_apply = jax.jit(cn_lib.apply)
+    latent = latent0.copy()
+    scale = 4.0
+    for i in range(schedule.num_steps):
+        t_emb = np.repeat(t_embs[i][None], B, axis=0)
+        controls_u = cn_apply(cn_params, latent, t_emb, uncond, hint)
+        e_u = np.asarray(apply(unet_params, latent, t_emb, uncond, controls=controls_u), np.float32)
+        controls_c = cn_apply(cn_params, latent, t_emb, context, hint)
+        e_c = np.asarray(apply(unet_params, latent, t_emb, context, controls=controls_c), np.float32)
+        eps = e_u + scale * (e_c - e_u)
+        x0 = (latent - schedule.nr_t[i] * eps) / schedule.sr_t[i]
+        latent = (x0 if schedule.is_last[i] else
+                  schedule.sr_prev[i] * x0 + schedule.nr_prev[i] * eps).astype(np.float32)
+
+    rows = {k: getattr(schedule, k) for k in (
+        "sr_t", "nr_t", "sr_prev", "nr_prev", "sr_s", "nr_s",
+        "c_denoised", "c_noise", "is_last")}
+    _, got = sampler.generate(
+        unet_params, None,
+        jnp.asarray(latent0), jnp.asarray(context), jnp.asarray(uncond),
+        jnp.asarray(t_embs), rows,
+        jnp.float32(scale), jnp.float32(0.0),
+        controlnet_params=cn_params, hint=jnp.asarray(hint),
+        use_cfg=True, active_tcd=False, stochastic=False,
+        use_controls=True, use_inpaint=False, decode=False,
+    )
+    np.testing.assert_allclose(np.asarray(got), latent, rtol=2e-4, atol=2e-4)
+
+
 def test_progress_callback(unet_params):
     """with_progress emits one callback per scan step from inside the jit."""
     schedule, t_embs, latent0, context, uncond = _setup(False, steps=3)
