@@ -99,7 +99,8 @@ def decode(params: dict, latent: jax.Array) -> jax.Array:
 # Shape specs + random init
 # ----------------------------------------------------------------------------------------
 
-def param_specs() -> dict:
+def param_specs(enc_widths=ENC_WIDTHS, dec_widths=DEC_WIDTHS) -> dict:
+    """Defaults are sd-vae-ft-mse; tests pass scaled-down widths."""
     specs: dict = {}
 
     def norm(name, c):
@@ -130,41 +131,41 @@ def param_specs() -> dict:
         res(f"{prefix}.resnets.1", c, c)
 
     # encoder
-    convs("encoder.conv_in", 3, 128, 3)
-    cin = 128
-    for level, w in enumerate(ENC_WIDTHS):
+    convs("encoder.conv_in", 3, enc_widths[0], 3)
+    cin = enc_widths[0]
+    for level, w in enumerate(enc_widths):
         for j in range(2):
             res(f"encoder.down_blocks.{level}.resnets.{j}", cin if j == 0 else w, w)
         cin = w
         if level < 3:
             convs(f"encoder.down_blocks.{level}.downsamplers.0.conv", w, w, 3)
-    mid("encoder.mid_block", 512)
-    norm("encoder.conv_norm_out", 512)
-    convs("encoder.conv_out", 512, 8, 3)
+    mid("encoder.mid_block", enc_widths[-1])
+    norm("encoder.conv_norm_out", enc_widths[-1])
+    convs("encoder.conv_out", enc_widths[-1], 8, 3)
     convs("quant_conv", 8, 8, 1)
 
     # decoder
     convs("post_quant_conv", 4, 4, 1)
-    convs("decoder.conv_in", 4, 512, 3)
-    mid("decoder.mid_block", 512)
-    cin = 512
-    for level, w in enumerate(DEC_WIDTHS):
+    convs("decoder.conv_in", 4, dec_widths[0], 3)
+    mid("decoder.mid_block", dec_widths[0])
+    cin = dec_widths[0]
+    for level, w in enumerate(dec_widths):
         for j in range(3):
             res(f"decoder.up_blocks.{level}.resnets.{j}", cin if j == 0 else w, w)
         cin = w
         if level < 3:
             convs(f"decoder.up_blocks.{level}.upsamplers.0.conv", w, w, 3)
-    norm("decoder.conv_norm_out", 128)
-    convs("decoder.conv_out", 128, 3, 3)
+    norm("decoder.conv_norm_out", dec_widths[-1])
+    convs("decoder.conv_out", dec_widths[-1], 3, 3)
     return specs
 
 
-def init_params(rng: jax.Array, dtype=jnp.float32, scale: float = 0.02) -> dict:
+def init_params(rng: jax.Array, dtype=jnp.float32, scale: float = 0.02, **spec_kw) -> dict:
     import numpy as np
 
     rs = np.random.RandomState(np.asarray(jax.random.key_data(rng)).ravel()[-1] % (2**31))
     params = {}
-    for name, leaves in param_specs().items():
+    for name, leaves in param_specs(**spec_kw).items():
         params[name] = {}
         for leaf, shape in leaves.items():
             if leaf == "scale":

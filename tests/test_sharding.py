@@ -56,6 +56,55 @@ def test_sharded_forward_matches_single_device(small_params, data, model):
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
 
 
+def test_sharded_generation_matches_single_device(small_params):
+    """The PRODUCTION sampler program (scan + CFG + decode) under a DP x TP mesh
+    equals the single-device run — the multi-chip generation path end-to-end."""
+    import minsdtf_tpu.scheduler as sched_lib
+    from minsdtf_tpu import sampler
+    from minsdtf_tpu.models import vae as vae_lib
+
+    # widths must stay >= 32 (GroupNorm group count)
+    vae_params = vae_lib.init_params(
+        jax.random.PRNGKey(5), scale=0.04, enc_widths=(32, 32, 64, 64), dec_widths=(64, 64, 32, 32)
+    )
+    sched = sched_lib.Scheduler(active_tcd=False)
+    schedule = sched_lib.build_denoise_schedule(sched, 2)
+    t_embs = sched_lib.timestep_embedding(schedule.timesteps, dim=32)
+    rows = {k: getattr(schedule, k) for k in (
+        "sr_t", "nr_t", "sr_prev", "nr_prev", "sr_s", "nr_s",
+        "c_denoised", "c_noise", "is_last")}
+    rng = np.random.RandomState(0)
+    batch = 4
+    latent0 = rng.normal(0, 1, (batch, 8, 8, 4)).astype(np.float32)
+    ctx = rng.normal(0, 1, (batch, 77, 768)).astype(np.float32)
+    unc = rng.normal(0, 1, (batch, 77, 768)).astype(np.float32)
+
+    def run(u_params, v_params, l0, c, uc):
+        img, lat = sampler.generate(
+            u_params, v_params, l0, c, uc,
+            jnp.asarray(t_embs), rows, jnp.float32(7.5), jnp.float32(0.7),
+            use_cfg=True, active_tcd=False, stochastic=False,
+            use_controls=False, use_inpaint=False, decode=True,
+        )
+        return np.asarray(img), np.asarray(lat)
+
+    img_want, lat_want = run(small_params, vae_params,
+                             jnp.asarray(latent0), jnp.asarray(ctx), jnp.asarray(unc))
+
+    mesh = mesh_lib.make_mesh(data=4, model=2)
+    u_s = sharding.shard_params(small_params, mesh)
+    v_s = sharding.shard_params(vae_params, mesh)
+    with mesh:
+        img_got, lat_got = run(
+            u_s, v_s,
+            sharding.shard_batch(jnp.asarray(latent0), mesh),
+            sharding.shard_batch(jnp.asarray(ctx), mesh),
+            sharding.shard_batch(jnp.asarray(unc), mesh),
+        )
+    np.testing.assert_allclose(lat_got, lat_want, rtol=5e-4, atol=5e-4)
+    assert np.mean(np.abs(img_got.astype(int) - img_want.astype(int))) < 0.05
+
+
 def test_train_step_sharded(small_params):
     import optax
 
