@@ -507,3 +507,91 @@ class StableDiffusion:
         if text_embedding.ndim == 2:
             text_embedding = np.repeat(text_embedding[None], batch_size, axis=0)
         return text_embedding
+
+    # ---- reference-compatible sub-model attributes --------------------------------
+    # The reference exposes each sub-model as a Keras Model with predict_on_batch
+    # (stable_diffusion.py:650-725). These shims give reference users the same
+    # handles over the jitted functional models.
+
+    @property
+    def diffusion_model(self):
+        params = self.unet_params
+
+        def fn(inputs):
+            latent, t_emb, context, *controls = inputs
+            return np.asarray(jax.jit(unet_lib.apply)(
+                params,
+                jnp.asarray(latent, self.compute_dtype),
+                jnp.asarray(t_emb, self.compute_dtype),
+                jnp.asarray(context, self.compute_dtype),
+                controls=tuple(jnp.asarray(c, self.compute_dtype) for c in controls) or None,
+            ), np.float32)
+
+        return _CompatModel(fn)
+
+    @property
+    def text_clip_embedding(self):
+        params = self.text_params
+
+        def fn(inputs):
+            tokens, positions = inputs
+            positions = np.broadcast_to(np.asarray(positions, np.int32), np.asarray(tokens).shape)
+            return np.asarray(jax.jit(clip_lib.clip_embedding)(
+                params, jnp.asarray(tokens, jnp.int32), jnp.asarray(positions, jnp.int32)
+            ), np.float32)
+
+        return _CompatModel(fn)
+
+    @property
+    def text_encoder(self):
+        embed_fn, encode_fn = self._text_fns()
+        return _CompatModel(lambda emb: np.asarray(encode_fn(emb), np.float32))
+
+    @property
+    def image_encoder(self):
+        return _CompatModel(lambda img: np.asarray(self._encode_image(np.asarray(img)), np.float32))
+
+    @property
+    def image_decoder(self):
+        params = self.vae_params
+
+        def fn(latent):
+            return np.asarray(jax.jit(vae_lib.decode)(
+                params, jnp.asarray(latent, self.compute_dtype)
+            ), np.float32)
+
+        return _CompatModel(fn)
+
+    @property
+    def hint_net(self):
+        return _CompatModel(lambda img: np.asarray(self._hint(np.asarray(img)), np.float32))
+
+    @property
+    def control_net(self):
+        params = self.controlnet_params
+
+        def fn(inputs):
+            latent, t_emb, context, hint = inputs
+            outs = controlnet_lib.apply(
+                params,
+                jnp.asarray(latent, self.compute_dtype),
+                jnp.asarray(t_emb, self.compute_dtype),
+                jnp.asarray(context, self.compute_dtype),
+                jnp.asarray(hint, self.compute_dtype),
+            )
+            return [np.asarray(o, np.float32) for o in outs]
+
+        return _CompatModel(fn)
+
+
+class _CompatModel:
+    """Minimal stand-in for a Keras Model handle: ``predict_on_batch`` + ``__call__``."""
+
+    def __init__(self, fn):
+        self._fn = fn
+
+    def predict_on_batch(self, inputs):
+        return self._fn(inputs)
+
+    def __call__(self, inputs):
+        return self._fn(inputs)

@@ -1,0 +1,41 @@
+"""Reference-style sub-model handles on the pipeline (pipe.diffusion_model etc. with
+predict_on_batch), exercised with small random weights on CPU."""
+
+import gzip
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def pipe(tmp_path_factory):
+    import jax.numpy as jnp
+
+    import oracle_utils
+    from minsdtf_tpu.pipeline import StableDiffusion
+    from minsdtf_tpu.weights import convert
+
+    rng = np.random.RandomState(0)
+    sd = oracle_utils.synth_state_dict(convert._text_encoder_specs(), rng)
+    te = oracle_utils.save_safetensors(sd, str(tmp_path_factory.mktemp("p") / "te.safetensors"))
+    return StableDiffusion(img_height=64, img_width=64, text_encoder_ckpt=te,
+                           compute_dtype=jnp.float32)
+
+
+def test_text_model_handles(pipe):
+    tokens = np.array([[49406] + [49407] * 76], np.int32)
+    positions = np.arange(77, dtype=np.int32)[None]
+    emb = pipe.text_clip_embedding.predict_on_batch([tokens, positions])
+    assert emb.shape == (1, 77, 768)
+    ctx = pipe.text_encoder.predict_on_batch(emb)
+    assert ctx.shape == (1, 77, 768)
+    np.testing.assert_allclose(ctx, pipe._unconditional_context(), rtol=1e-5, atol=1e-5)
+
+
+def test_vae_handles(pipe):
+    rng = np.random.RandomState(1)
+    img = rng.uniform(-1, 1, (1, 64, 64, 3)).astype(np.float32)
+    lat = pipe.image_encoder.predict_on_batch(img)
+    assert lat.shape == (1, 8, 8, 4)
+    out = pipe.image_decoder.predict_on_batch(lat)
+    assert out.shape == (1, 64, 64, 3)
