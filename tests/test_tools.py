@@ -1,0 +1,26 @@
+"""CLI tools: converter end-to-end on a synthetic checkpoint."""
+
+import os
+
+import numpy as np
+import pytest
+
+
+def test_convert_cli(tmp_path):
+    import oracle_utils
+    from minsdtf_tpu.tools import convert as cli
+    from minsdtf_tpu.weights import checkpoint, convert as convert_lib
+
+    rng = np.random.RandomState(0)
+    sd = oracle_utils.synth_state_dict(convert_lib._text_encoder_specs(), rng)
+    ckpt = oracle_utils.save_safetensors(sd, str(tmp_path / "te.safetensors"))
+    out_dir = str(tmp_path / "out")
+    cli.main(["--text-encoder", ckpt, "--out-dir", out_dir])
+
+    # msgpack cache written next to the source
+    assert os.path.exists(ckpt + ".minsdtf-text_encoder.msgpack")
+    # orbax checkpoint restorable
+    params = checkpoint.restore_params(os.path.join(out_dir, "text_encoder"))
+    assert "text_model.encoder.layers.0.self_attn.q_proj" in params
+    # second run hits the cache (no exception, same result)
+    cli.main(["--text-encoder", ckpt])
