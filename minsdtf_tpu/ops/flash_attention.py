@@ -52,6 +52,10 @@ def _pick_blocks(q_len: int, kv_len: int):
 def supports(q_len: int, kv_len: int, head_dim: int, causal: bool = False) -> bool:
     if causal:
         return False
+    # Short-KV (cross-attention vs the 77-308 token text context) is measured faster
+    # on the XLA einsum path (the score matrix is small; kernel overhead dominates).
+    if kv_len < 512:
+        return False
     block_q, block_k = _pick_blocks(q_len, kv_len)
     return q_len % block_q == 0 and (kv_len == block_k or kv_len % block_k == 0)
 

@@ -32,7 +32,7 @@ def test_flash_matches_xla(sq, sk, d, h):
 
 def test_supports_table():
     assert fa.supports(4096, 4096, 40)      # 512x512 self-attn
-    assert fa.supports(4096, 77, 40)        # cross-attn
-    assert fa.supports(4096, 308, 40)       # LPW 4-chunk context
     assert fa.supports(65536, 65536, 40)    # 2048x2048 self-attn
+    assert not fa.supports(4096, 77, 40)    # short-KV cross-attn -> XLA (measured faster)
+    assert not fa.supports(4096, 308, 40)
     assert not fa.supports(77, 77, 64, causal=True)  # CLIP stays on XLA
