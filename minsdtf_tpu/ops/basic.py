@@ -88,13 +88,13 @@ def group_norm(x: jax.Array, p: dict, num_groups: int = 32, eps: float = 1e-5) -
 def group_norm_silu(x: jax.Array, p: dict, num_groups: int = 32, eps: float = 1e-5) -> jax.Array:
     """Fused GroupNorm + SiLU — the prologue of every ResBlock conv.
 
-    On TPU the single-pass Pallas kernel (:mod:`minsdtf_tpu.ops.groupnorm`) is used
-    for the small-spatial/deep levels where it measures faster than XLA's fusion
-    (h*w <= 512: e.g. 16x16x1280 1.8 vs 2.4 ms; at 64x64x320 XLA wins). Override
-    with MINSDTF_GN_IMPL=pallas|xla."""
+    Default is XLA: in the full UNet graph XLA fuses the norm with neighboring
+    elementwise work, and the standalone Pallas kernel *breaks those fusions* — it
+    wins isolated microbenches at deep levels but loses ~2% end-to-end (measured
+    0.722 s/img XLA vs 0.779 auto-pallas). MINSDTF_GN_IMPL=pallas to experiment."""
     import os
 
-    impl = os.environ.get("MINSDTF_GN_IMPL", "auto")
+    impl = os.environ.get("MINSDTF_GN_IMPL", "xla")
     use_pallas = False
     if impl != "xla" and x.ndim == 4:
         small_spatial = x.shape[1] * x.shape[2] <= 512
