@@ -62,11 +62,20 @@ def resblock(params: dict, prefix: str, x: jax.Array, temb: jax.Array) -> jax.Ar
 
 def cross_attention(params: dict, prefix: str, x: jax.Array, context: jax.Array) -> jax.Array:
     """(B, S, C) attention with no-bias q/k/v and biased out-proj
-    (reference ``diffusion_model.py:99-129``); context == x for self-attention."""
+    (reference ``diffusion_model.py:99-129``); context == x for self-attention.
+
+    When :func:`fuse_attention_projections` has been applied, the q/k/v (self-attn)
+    or k/v (cross-attn) projections run as one wide matmul — better MXU shapes."""
     p = lambda name: params[f"{prefix}.{name}"]
-    q = dense(x, p("to_q"))
-    k = dense(context, p("to_k"))
-    v = dense(context, p("to_v"))
+    if f"{prefix}.to_qkv" in params:  # fused self-attention projections
+        q, k, v = jnp.split(dense(x, p("to_qkv")), 3, axis=-1)
+    elif f"{prefix}.to_kv" in params:  # fused cross-attention K/V
+        q = dense(x, p("to_q"))
+        k, v = jnp.split(dense(context, p("to_kv")), 2, axis=-1)
+    else:
+        q = dense(x, p("to_q"))
+        k = dense(context, p("to_k"))
+        v = dense(context, p("to_v"))
     out = multi_head_attention(q, k, v, num_heads=NUM_HEADS)
     return dense(out, p("to_out.0"))
 
@@ -160,6 +169,30 @@ def apply(
     # ---- exit ------------------------------------------------------------------------
     x = group_norm_silu(x, params["conv_norm_out"])
     return conv2d(x, params["conv_out"], padding=1)
+
+
+def fuse_attention_projections(params: dict) -> dict:
+    """Concatenate attn1 q/k/v (and attn2 k/v) kernels into single wide matmuls.
+
+    A load-time transform (applied by the pipeline on single-device runs): the three
+    (C, C) no-bias projections share the same input, so one (C, 3C) matmul replaces
+    three dispatches with a more MXU-friendly N. Not applied under TP meshes — the
+    Megatron column rules shard per-projection."""
+    fused = dict(params)
+    for name in list(params):
+        if name.endswith(".attn1.to_q"):
+            base = name[: -len(".to_q")]
+            kernels = [params[f"{base}.to_{t}"]["kernel"] for t in ("q", "k", "v")]
+            fused[f"{base}.to_qkv"] = {"kernel": jnp.concatenate(kernels, axis=1)}
+            for t in ("q", "k", "v"):
+                del fused[f"{base}.to_{t}"]
+        elif name.endswith(".attn2.to_k"):
+            base = name[: -len(".to_k")]
+            kernels = [params[f"{base}.to_{t}"]["kernel"] for t in ("k", "v")]
+            fused[f"{base}.to_kv"] = {"kernel": jnp.concatenate(kernels, axis=1)}
+            for t in ("k", "v"):
+                del fused[f"{base}.to_{t}"]
+    return fused
 
 
 # ---------------------------------------------------------------------------------------

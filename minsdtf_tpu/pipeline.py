@@ -144,9 +144,12 @@ class StableDiffusion:
     @property
     def unet_params(self):
         if self._unet_params is None:
-            self._unet_params = self._shard(self._load_or_init(
+            params = self._load_or_init(
                 self.unet_ckpt, "unet", unet_lib.init_params, 0, lora=self.unet_lora,
-            ))
+            )
+            if self.mesh is None and os.environ.get("MINSDTF_FUSE_QKV", "1") == "1":
+                params = unet_lib.fuse_attention_projections(params)
+            self._unet_params = self._shard(params)
         return self._unet_params
 
     @property

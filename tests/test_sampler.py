@@ -136,6 +136,19 @@ def test_unequal_context_lengths(unet_params):
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
 
 
+def test_fused_qkv_projections_equal(unet_params):
+    """fuse_attention_projections is numerically identical to the unfused model."""
+    fused = unet_lib.fuse_attention_projections(unet_params)
+    assert any(k.endswith(".to_qkv") for k in fused)
+    rng = np.random.RandomState(2)
+    latent = rng.normal(0, 1, (B, H, W, 4)).astype(np.float32)
+    t_emb = rng.normal(0, 1, (B, SMALL["widths"][0])).astype(np.float32)
+    ctx = rng.normal(0, 1, (B, 77, 768)).astype(np.float32)
+    want = np.asarray(jax.jit(unet_lib.apply)(unet_params, latent, t_emb, ctx))
+    got = np.asarray(jax.jit(unet_lib.apply)(fused, latent, t_emb, ctx))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
 def test_scan_with_controlnet(unet_params):
     """use_controls: HintNet+ControlNet residuals inside the scan equal the explicit
     per-step loop (controlnet called per step, hint computed once — reference
