@@ -156,13 +156,33 @@ class Scheduler:
 
         if timesteps is not None:
             # Custom descending schedule with strength truncation
-            # (reference scheduler.py:157-204; validation warnings preserved as errors
-            # only where the reference raises).
+            # (reference scheduler.py:157-204, incl. its validation warnings).
+            orig = (original_inference_steps
+                    if original_inference_steps is not None else self.original_inference_steps)
+            k = self.num_train_timesteps // orig
+            train_grid = {i * k - 1 for i in range(1, int(orig * strength) + 1)}
             for i in range(1, len(timesteps)):
                 if timesteps[i] >= timesteps[i - 1]:
                     raise ValueError("custom `timesteps` must be in descending order.")
             if timesteps[0] >= self.num_train_timesteps:
                 raise ValueError("`timesteps` must start before num_train_timesteps.")
+            if strength == 1.0 and timesteps[0] != self.num_train_timesteps - 1:
+                print(
+                    f"The first custom timestep is {timesteps[0]}, not "
+                    f"num_train_timesteps-1 ({self.num_train_timesteps - 1}); results "
+                    f"may be unexpected."
+                )
+            off_grid = [t for t in timesteps[1:] if t not in train_grid]
+            if off_grid:
+                print(
+                    f"Custom timesteps not on the training/distillation schedule: "
+                    f"{off_grid}; results may be unexpected."
+                )
+            if len(timesteps) > orig:
+                print(
+                    f"Custom schedule length {len(timesteps)} exceeds the "
+                    f"distillation schedule length {orig}; results may be unexpected."
+                )
             ts = np.array(timesteps, dtype=np.int32)
             self.num_inference_steps = len(ts)
             self.custom_timesteps = True
