@@ -116,6 +116,15 @@ class StableDiffusion:
     # ---- lazy weights -----------------------------------------------------------
 
     def _load_or_init(self, path, kind, init_fn, seed, lora=None):
+        if path is not None and not os.path.exists(str(path)):
+            # URL or "default": resolve through the download cache (reference
+            # auto-downloads its defaults; needs network, absent in the CI sandbox).
+            from minsdtf_tpu.weights import fetch
+
+            try:
+                path = fetch.resolve(path, kind)
+            except Exception as e:
+                raise FileNotFoundError(f"{kind}: cannot fetch {path}: {e}") from e
         if path is not None and os.path.exists(str(path)):
             print(f"{kind}: converting weights from {os.path.basename(str(path))}")
             params = convert.convert_cached(kind, str(path), lora=lora)

@@ -53,14 +53,21 @@ def tcd_timesteps(
     num_train_timesteps: int = 1000,
     original_inference_steps: int = 50,
     strength: float = 1.0,
+    arbitrary_grid: bool = False,
 ) -> np.ndarray:
     """Descending TCD schedule (reference ``scheduler.py:147-237``).
 
-    Origin grid: ``(1..floor(orig*strength)) * k - 1`` with ``k = T // orig``; final
-    schedule is a floor-linspace subsample of the reversed origin grid.
+    Default origin grid: ``(1..floor(orig*strength)) * k - 1`` with ``k = T // orig``.
+    ``arbitrary_grid`` reproduces the reference's explicitly-passed
+    ``original_inference_steps`` branch (:152-154): origin = ``0..T*strength`` (any
+    timestep allowed). The final schedule is a floor-linspace subsample of the
+    reversed origin grid.
     """
-    k = num_train_timesteps // original_inference_steps
-    origin = np.asarray(range(1, int(original_inference_steps * strength) + 1)) * k - 1
+    if arbitrary_grid:
+        origin = np.asarray(range(0, int(num_train_timesteps * strength)))
+    else:
+        k = num_train_timesteps // original_inference_steps
+        origin = np.asarray(range(1, int(original_inference_steps * strength) + 1)) * k - 1
     if len(origin) // num_inference_steps < 1:
         raise ValueError(
             f"original_steps*strength ({original_inference_steps}x{strength}) is smaller "
@@ -202,7 +209,10 @@ class Scheduler:
             )
             self.num_inference_steps = num_inference_steps
             self.timesteps = tcd_timesteps(
-                num_inference_steps, self.num_train_timesteps, orig, strength
+                num_inference_steps, self.num_train_timesteps, orig, strength,
+                # Explicitly-passed original_inference_steps selects the reference's
+                # arbitrary-timestep origin grid (scheduler.py:152-154).
+                arbitrary_grid=original_inference_steps is not None,
             )
         self._step_index = None
         self._begin_index = None

@@ -35,6 +35,17 @@ def test_tcd_timesteps_match(n, orig, strength):
     np.testing.assert_array_equal(ours.timesteps, ref.timesteps)
 
 
+@pytest.mark.parametrize("n,orig", [(4, 40), (10, 100)])
+def test_tcd_explicit_original_steps_arbitrary_grid(n, orig):
+    """Explicitly passing original_inference_steps selects the reference's
+    arbitrary-timestep origin grid (scheduler.py:152-154)."""
+    ours = sch.Scheduler(active_tcd=True)
+    ref = ref_scheduler.Scheduler(active_tcd=True)
+    ours.set_timesteps(n, original_inference_steps=orig)
+    ref.set_timesteps(n, original_inference_steps=orig)
+    np.testing.assert_array_equal(ours.timesteps, ref.timesteps)
+
+
 def _run_loop(scheduler_obj, timesteps_desc, eps_seq, x0, eta):
     """Replicates the reference pipeline hot loop ordering (stable_diffusion.py:442-468)."""
     latent = x0
