@@ -113,6 +113,22 @@ class StableDiffusion:
         self._text_encode_jit = None
         self._hint_jit = None
 
+    def set_lora(self, lora_path: Optional[str], scale: float = 1.0) -> None:
+        """Switch the active LoRA at runtime (a capability the reference lacks —
+        README: "Merge yes / Switch no"). Re-derives the UNet/text-encoder params
+        from the (msgpack-cached) base checkpoint with the new deltas merged;
+        ``None`` removes any LoRA. ``scale`` multiplies the deltas."""
+        from minsdtf_tpu.weights import lora as lora_lib
+
+        if lora_path is None:
+            self.text_encoder_lora = self.unet_lora = None
+        else:
+            te, un = lora_lib.load_lora(str(lora_path))
+            self.text_encoder_lora = lora_lib.scale_lora(te, scale)
+            self.unet_lora = lora_lib.scale_lora(un, scale)
+        self._unet_params = None
+        self._text_params = None
+
     # ---- lazy weights -----------------------------------------------------------
 
     def _load_or_init(self, path, kind, init_fn, seed, lora=None):

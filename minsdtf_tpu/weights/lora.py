@@ -81,6 +81,13 @@ def compose_delta(up: np.ndarray, down: np.ndarray, alpha: float) -> np.ndarray:
     return (w * scale).astype(np.float32)
 
 
+def scale_lora(deltas: StateDict, scale: float) -> StateDict:
+    """Scale a delta dict (LoRA strength knob; 1.0 = as trained)."""
+    if scale == 1.0:
+        return deltas
+    return {k: v * np.float32(scale) for k, v in deltas.items()}
+
+
 def load_lora(path_or_sd) -> Tuple[StateDict, StateDict]:
     """-> (text_encoder_deltas, unet_deltas), diffusers-keyed."""
     sd = read_state_dict(path_or_sd) if isinstance(path_or_sd, str) else path_or_sd

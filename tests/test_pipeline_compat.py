@@ -32,6 +32,37 @@ def test_text_model_handles(pipe):
     np.testing.assert_allclose(ctx, pipe._unconditional_context(), rtol=1e-5, atol=1e-5)
 
 
+def test_runtime_lora_switch(pipe, tmp_path):
+    """set_lora merges / removes deltas at runtime against the cached base ckpt."""
+    import torch
+
+    rng = np.random.RandomState(3)
+    rank = 4
+    down = torch.from_numpy(rng.normal(0, 0.1, (rank, 768)).astype(np.float32))
+    up = torch.from_numpy(rng.normal(0, 0.1, (768, rank)).astype(np.float32))
+    sd = {
+        "lora_te_text_model_encoder_layers_0_self_attn_q_proj.lora_down.weight": down,
+        "lora_te_text_model_encoder_layers_0_self_attn_q_proj.lora_up.weight": up,
+        "lora_te_text_model_encoder_layers_0_self_attn_q_proj.alpha": torch.tensor(2.0),
+    }
+    lora_path = str(tmp_path / "lora.pt")
+    torch.save(sd, lora_path)
+
+    key = "text_model.encoder.layers.0.self_attn.q_proj"
+    base = np.asarray(pipe.text_params[key]["kernel"])
+    pipe.set_lora(lora_path, scale=1.0)
+    merged = np.asarray(pipe.text_params[key]["kernel"])
+    want_delta = ((up @ down).numpy() * (2.0 / rank)).T  # torch (out,in) -> ours (in,out)
+    np.testing.assert_allclose(merged - base, want_delta, rtol=1e-4, atol=1e-6)
+
+    pipe.set_lora(lora_path, scale=0.5)
+    half = np.asarray(pipe.text_params[key]["kernel"])
+    np.testing.assert_allclose(half - base, 0.5 * want_delta, rtol=1e-4, atol=1e-6)
+
+    pipe.set_lora(None)
+    np.testing.assert_allclose(np.asarray(pipe.text_params[key]["kernel"]), base)
+
+
 def test_vae_handles(pipe):
     rng = np.random.RandomState(1)
     img = rng.uniform(-1, 1, (1, 64, 64, 3)).astype(np.float32)
