@@ -250,12 +250,19 @@ class StableDiffusion:
         embedding = None
         embedding_tokens_count = 0
         if embedding_data is not None:
-            if isinstance(embedding_data, str):
-                embedding = textual_inversion.load_embedding(embedding_data)
-                if embedding is None:
-                    raise ValueError(f"failed to load embedding file: {embedding_data}.")
-            else:
-                embedding = np.asarray(embedding_data, dtype=np.float32)
+            # Multi-textual-inversion (a reference TODO): a list of files/arrays
+            # concatenates along the token axis.
+            items = embedding_data if isinstance(embedding_data, (list, tuple)) else [embedding_data]
+            mats = []
+            for item in items:
+                if isinstance(item, str):
+                    mat = textual_inversion.load_embedding(item)
+                    if mat is None:
+                        raise ValueError(f"failed to load embedding file: {item}.")
+                else:
+                    mat = np.asarray(item, dtype=np.float32)
+                mats.append(mat)
+            embedding = np.concatenate(mats, axis=0)
             embedding_tokens_count = embedding.shape[0]
             embedding = embedding[None]
         embed_fn, encode_fn = self._text_fns()

@@ -96,6 +96,21 @@ def test_encode_text_with_textual_inversion(ref_pipe, our_pipe, ti_path):
     assert diff < 5e-3, diff
 
 
+def test_multi_textual_inversion(our_pipe, ti_path, tmp_path):
+    """A list of TI files concatenates token-wise (reference TODO, implemented)."""
+    import torch
+
+    rng = np.random.RandomState(9)
+    emb2 = rng.normal(0, 0.5, (2, 768)).astype(np.float32)
+    path2 = str(tmp_path / "emb2.pt")
+    torch.save({"string_to_param": {"*": torch.from_numpy(emb2)}}, path2)
+
+    both = our_pipe.encode_text("the cat", embedding_data=[ti_path, path2])
+    single = our_pipe.encode_text("the cat", embedding_data=ti_path)
+    assert both.shape == single.shape  # still one 77-token chunk
+    assert not np.allclose(both, single)
+
+
 def test_unconditional_context_parity(ref_pipe, our_pipe):
     want = np.asarray(ref_pipe._get_unconditional_context())
     got = np.asarray(our_pipe._unconditional_context())
