@@ -36,8 +36,28 @@ def controls(tab, with_image=False, with_mask=False):
     batch = col3.slider("Images", 1, 8, 1)
     image = tab.file_uploader("Reference image") if with_image else None
     strength = tab.slider("Strength", 0.0, 1.0, 0.8) if with_image else None
-    mask = tab.file_uploader("Inpaint mask (white = regenerate)") if with_mask else None
-    blur = tab.slider("Mask blur", 1, 33, 5, step=2) if with_mask else None
+    mask = None
+    blur = None
+    if with_mask:
+        blur = tab.slider("Mask blur", 1, 33, 5, step=2)
+        mask = tab.file_uploader("Inpaint mask (white = regenerate)")
+        if mask is None and image is not None:
+            # Freehand mask like the reference app (app.py:263-281); optional dep.
+            try:
+                from PIL import Image
+                from streamlit_drawable_canvas import st_canvas
+
+                bg = Image.open(image).convert("RGB")
+                canvas = st_canvas(
+                    fill_color="rgba(255,255,255,1)", stroke_width=24,
+                    stroke_color="rgba(255,255,255,1)", background_image=bg,
+                    width=min(width, 768), height=min(height, 768), key=f"canvas-{tab}",
+                )
+                if canvas.image_data is not None:
+                    alpha = np.asarray(canvas.image_data)[..., 3]
+                    mask = (alpha > 0).astype(np.uint8) * 255
+            except ImportError:
+                tab.caption("install streamlit-drawable-canvas for freehand masks")
     return dict(prompt=prompt, negative=negative, height=height, width=width,
                 steps=steps, scale=scale, rescale=rescale, seed=int(seed),
                 batch=batch, image=image, strength=strength, mask=mask, blur=blur)
@@ -63,7 +83,9 @@ def run(kind: str, cfg: dict):
         if kind == "img2img":
             images = pipe.image_to_image(**kw)
         else:
-            mask = np.array(Image.open(cfg["mask"]).convert("L"))
+            mask = cfg["mask"]
+            if not isinstance(mask, np.ndarray):
+                mask = np.array(Image.open(mask).convert("L"))
             kw.update(inpaint_mask=mask, mask_blur_strength=cfg["blur"])
             images = pipe.inpaint(**kw)
     common.save_outputs(images, cfg["prompt"])
