@@ -47,13 +47,14 @@ def main():
     size = int(os.environ.get("BENCH_SIZE", 512))
     batch = int(os.environ.get("BENCH_BATCH", 1))
     repeats = int(os.environ.get("BENCH_REPEATS", 3))
+    tcd = os.environ.get("BENCH_TCD") == "1"  # few-step distilled-sampler config
 
     import jax
 
     with contextlib.redirect_stdout(sys.stderr):
         from minsdtf_tpu.pipeline import StableDiffusion
 
-        pipe = StableDiffusion(img_height=size, img_width=size)
+        pipe = StableDiffusion(img_height=size, img_width=size, active_tcd=tcd)
         rng = np.random.RandomState(0)
         encoded = rng.normal(0, 1, (77, 768)).astype(np.float32)
 
@@ -77,8 +78,9 @@ def main():
 
     sec_per_image = elapsed / batch
     ideal = flops_per_image(size, size, steps, 1) / peak_flops()
+    kind = "TCD txt2img" if tcd else "txt2img"
     result = {
-        "metric": f"SD1.5 {size}x{size} {steps}-step txt2img (CFG 7.5, bf16, 1 chip)",
+        "metric": f"SD1.5 {size}x{size} {steps}-step {kind} (CFG 7.5, bf16, 1 chip)",
         "value": round(sec_per_image, 4),
         "unit": "s/img",
         "vs_baseline": round(ideal / sec_per_image, 4),
