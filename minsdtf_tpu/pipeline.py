@@ -128,6 +128,7 @@ class StableDiffusion:
             self.unet_lora = lora_lib.scale_lora(un, scale)
         self._unet_params = None
         self._text_params = None
+        self._uncond_cache = None
 
     # ---- lazy weights -----------------------------------------------------------
 
@@ -278,10 +279,15 @@ class StableDiffusion:
         )
 
     def _unconditional_context(self) -> np.ndarray:
-        """[BOS] + [EOT]*76 through embed+encode, bypassing LPW (reference :488-493)."""
-        tokens = np.asarray([[BOS_TOKEN_ID] + [PAD_TOKEN_ID] * (MAX_PROMPT_LENGTH - 1)], np.int32)
-        embed_fn, encode_fn = self._text_fns()
-        return np.asarray(encode_fn(embed_fn(tokens)))
+        """[BOS] + [EOT]*76 through embed+encode, bypassing LPW (reference :488-493).
+        Prompt-independent, so cached after the first call."""
+        if getattr(self, "_uncond_cache", None) is None:
+            tokens = np.asarray(
+                [[BOS_TOKEN_ID] + [PAD_TOKEN_ID] * (MAX_PROMPT_LENGTH - 1)], np.int32
+            )
+            embed_fn, encode_fn = self._text_fns()
+            self._uncond_cache = np.asarray(encode_fn(embed_fn(tokens)))
+        return self._uncond_cache
 
     # ---- public generation methods --------------------------------------------------
 
@@ -429,9 +435,10 @@ class StableDiffusion:
             noise = np.squeeze(np.asarray(diffusion_noise, np.float32))
             if noise.ndim == 3:
                 noise = np.repeat(noise[None], batch_size, axis=0)
+            noise = jnp.asarray(noise, jnp.float32)
         else:
+            # stays on device — no host round trip
             noise = jax.random.normal(key, (batch_size, h8, w8, 4), jnp.float32)
-            noise = np.asarray(noise)
 
         # ---- img2img / inpaint preprocessing --------------------------------------
         strength = None
