@@ -108,10 +108,10 @@ class StableDiffusion:
         self._vae_params = None
         self._controlnet_params = None
         self._tokenizer = None
-        self._encode_tokens_jit = None
         self._embed_jit = None
         self._text_encode_jit = None
         self._hint_jit = None
+        self._uncond_cache = None
 
     def set_lora(self, lora_path: Optional[str], scale: float = 1.0) -> None:
         """Switch the active LoRA at runtime (a capability the reference lacks —
