@@ -65,6 +65,26 @@ def _default_dtype():
         return jnp.float32
 
 
+_HOST_CALLBACKS_SUPPORTED = None
+
+
+def _host_callbacks_supported() -> bool:
+    """Some PJRT backends (e.g. tunneled TPUs) reject host callbacks; probe once.
+    When unsupported, per-step progress falls back to post-hoc invocation."""
+    global _HOST_CALLBACKS_SUPPORTED
+    if _HOST_CALLBACKS_SUPPORTED is None:
+        try:
+            def probe(x):
+                jax.debug.callback(lambda v: None, x)
+                return x
+
+            jax.block_until_ready(jax.jit(probe)(jnp.zeros(())))
+            _HOST_CALLBACKS_SUPPORTED = True
+        except Exception:
+            _HOST_CALLBACKS_SUPPORTED = False
+    return _HOST_CALLBACKS_SUPPORTED
+
+
 class StableDiffusion:
     """Stable Diffusion 1.5 txt2img / img2img / inpaint on TPU."""
 
@@ -490,7 +510,8 @@ class StableDiffusion:
                       "c_denoised", "c_noise", "is_last")
         }
         inpaint_active = use_inpaint and init_latent is not None
-        if callback is not None:
+        live_progress = callback is not None and _host_callbacks_supported()
+        if live_progress:
             sampler.set_progress_callback(callback)
         image_u8, latent = sampler.generate(
             self.unet_params,
@@ -518,11 +539,14 @@ class StableDiffusion:
             stochastic=schedule.active_tcd and eta > 0.0,
             use_controls=use_controls,
             use_inpaint=inpaint_active,
-            with_progress=callback is not None,
+            with_progress=live_progress,
         )
         image = np.asarray(image_u8)
-        if callback is not None:
+        if live_progress:
             sampler.set_progress_callback(None)
+        elif callback is not None:
+            for i in range(schedule.num_steps):  # post-hoc fallback
+                callback(i + 1)
         if return_latent:
             return image, np.asarray(latent, np.float32)
         return image
