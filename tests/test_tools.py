@@ -6,6 +6,17 @@ import numpy as np
 import pytest
 
 
+def test_fetch_resolve_local_paths():
+    from minsdtf_tpu.weights import fetch
+
+    assert fetch.resolve(None, "unet") is None
+    assert fetch.resolve("/some/local/file.safetensors", "unet") == "/some/local/file.safetensors"
+    assert fetch.DEFAULT_URLS["vae"].startswith("https://")
+    with pytest.raises(Exception):
+        # no network in this environment; "default" must fail loudly, not hang
+        fetch.fetch("https://127.0.0.1:1/none.safetensors")
+
+
 def test_convert_cli(tmp_path):
     import oracle_utils
     from minsdtf_tpu.tools import convert as cli
