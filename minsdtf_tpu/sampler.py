@@ -20,6 +20,7 @@ scalars so changing them does NOT recompile.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import Optional
 
@@ -173,7 +174,8 @@ def generate(
             jax.debug.callback(_emit_progress, step["idx"], ordered=False)
         return new.astype(compute_dtype), None
 
-    latent, _ = jax.lax.scan(body, latent0, xs)
+    unroll = int(os.environ.get("MINSDTF_SCAN_UNROLL", "1"))
+    latent, _ = jax.lax.scan(body, latent0, xs, unroll=unroll)
 
     if not decode:
         return None, latent
