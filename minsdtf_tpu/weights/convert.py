@@ -65,7 +65,17 @@ def read_state_dict(path: str) -> StateDict:
             return out
     import torch
 
-    state = torch.load(path, map_location="cpu", weights_only=False)
+    # Prefer the safe unpickler; legacy .ckpt/.pth files that need full pickle
+    # (arbitrary code execution risk) only load on explicit opt-out.
+    try:
+        state = torch.load(path, map_location="cpu", weights_only=True)
+    except Exception:
+        if os.environ.get("MINSDTF_UNSAFE_PICKLE") != "1":
+            raise IOError(
+                f"{path}: not loadable with torch weights_only=True; if you trust "
+                "this file, set MINSDTF_UNSAFE_PICKLE=1 to allow full unpickling"
+            )
+        state = torch.load(path, map_location="cpu", weights_only=False)
     if isinstance(state, dict) and "state_dict" in state and isinstance(state["state_dict"], dict):
         state = state["state_dict"]
     return {k: _to_numpy(v) for k, v in state.items() if hasattr(v, "shape")}

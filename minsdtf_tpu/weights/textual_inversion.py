@@ -29,7 +29,17 @@ def load_embedding(path: str) -> Optional[np.ndarray]:
 
     import torch
 
-    state = torch.load(path, map_location="cpu", weights_only=False)
+    # A1111 TI .pt files hold tensors in a plain dict — the safe unpickler usually
+    # suffices; full pickle (code-exec risk) needs explicit opt-in.
+    try:
+        state = torch.load(path, map_location="cpu", weights_only=True)
+    except Exception:
+        if os.environ.get("MINSDTF_UNSAFE_PICKLE") != "1":
+            raise IOError(
+                f"{path}: not loadable with torch weights_only=True; if you trust "
+                "this file, set MINSDTF_UNSAFE_PICKLE=1 to allow full unpickling"
+            )
+        state = torch.load(path, map_location="cpu", weights_only=False)
     table = state.get("string_to_param") if isinstance(state, dict) else None
     if table is None:
         return None

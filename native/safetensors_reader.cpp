@@ -35,6 +35,7 @@ struct File {
   const uint8_t* map = nullptr;
   size_t size = 0;
   const uint8_t* data = nullptr;  // start of the data section
+  size_t data_size = 0;           // bytes in the data section
   std::vector<std::string> names;
   std::unordered_map<std::string, TensorInfo> tensors;
   std::string error;
@@ -183,8 +184,11 @@ void* st_open(const char* path) {
   if (f->map == MAP_FAILED) { close(f->fd); delete f; return nullptr; }
   uint64_t header_len = 0;
   memcpy(&header_len, f->map, 8);  // little-endian on all supported hosts
-  if (8 + header_len > f->size) { munmap((void*)f->map, f->size); close(f->fd); delete f; return nullptr; }
+  // f->size >= 8 is guaranteed above; compare without `8 + header_len`, which can
+  // wrap for a corrupt/malicious header_len near UINT64_MAX and bypass the check.
+  if (header_len > f->size - 8) { munmap((void*)f->map, f->size); close(f->fd); delete f; return nullptr; }
   f->data = f->map + 8 + header_len;
+  f->data_size = f->size - 8 - (size_t)header_len;
   if (!parse_header(f, (const char*)(f->map + 8), (size_t)header_len)) {
     munmap((void*)f->map, f->size);
     close(f->fd);
@@ -212,12 +216,14 @@ int st_tensor_info(void* handle, const char* name, char* dtype_out, int64_t* sha
   if (it == f->tensors.end()) return 1;
   const TensorInfo& t = it->second;
   if (t.shape.size() > 8) return 2;
+  // Validate offsets BEFORE forming pointers: begin <= end and end within the data
+  // section, so corrupt headers can never expose out-of-mapping views.
+  if (t.begin > t.end || t.end > (uint64_t)f->data_size) return 3;
   snprintf(dtype_out, 8, "%s", t.dtype.c_str());
   *ndim = (int)t.shape.size();
   for (size_t i = 0; i < t.shape.size(); i++) shape_out[i] = t.shape[i];
   *data_ptr = f->data + t.begin;
   *nbytes = (int64_t)(t.end - t.begin);
-  if (f->data + t.end > f->map + f->size) return 3;
   return 0;
 }
 
