@@ -450,7 +450,13 @@ class StableDiffusion:
         # ---- noise & init latent ------------------------------------------------
         if seed is None and diffusion_noise is None:
             seed = int(np.random.randint(0, 2**31 - 1))
-        key = jax.random.PRNGKey(seed if seed is not None else 0)
+        # `key` seeds TCD's per-step stochastic noise. When the caller supplies
+        # diffusion_noise (seed must be None), draw a fresh seed so repeated runs get
+        # fresh TCD noise — matching the reference's per-step np.random.randn
+        # (scheduler.py:301) rather than replaying one fixed stream.
+        key = jax.random.PRNGKey(
+            seed if seed is not None else int(np.random.randint(0, 2**31 - 1))
+        )
         if diffusion_noise is not None:
             noise = np.squeeze(np.asarray(diffusion_noise, np.float32))
             if noise.ndim == 3:
@@ -513,38 +519,42 @@ class StableDiffusion:
         live_progress = callback is not None and _host_callbacks_supported()
         if live_progress:
             sampler.set_progress_callback(callback)
-        image_u8, latent = sampler.generate(
-            self.unet_params,
-            self.vae_params,
-            jnp.asarray(latent0, dtype),
-            jnp.asarray(context, jnp.float32),
-            jnp.asarray(uncond_context, jnp.float32) if use_cfg else None,
-            jnp.asarray(t_embs, jnp.float32),
-            rows,
-            jnp.float32(unconditional_guidance_scale),
-            jnp.float32(guidance_rescale),
-            noise_key=jax.random.fold_in(key, 1),
-            controlnet_params=self.controlnet_params if use_controls else None,
-            hint=hint,
-            init_latent=jnp.asarray(np.repeat(init_latent, batch_size, axis=0), jnp.float32)
-            if inpaint_active else None,
-            latent_mask=jnp.asarray(latent_mask, jnp.float32) if inpaint_active else None,
-            blend_noise=jnp.asarray(noise, jnp.float32) if inpaint_active else None,
-            image_for_blend=jnp.asarray(image01, jnp.float32)
-            if (use_inpaint and image01 is not None) else None,
-            pixel_mask=jnp.asarray(pixel_mask, jnp.float32)
-            if (use_inpaint and image01 is not None) else None,
-            use_cfg=use_cfg,
-            active_tcd=schedule.active_tcd,
-            stochastic=schedule.active_tcd and eta > 0.0,
-            use_controls=use_controls,
-            use_inpaint=inpaint_active,
-            with_progress=live_progress,
-        )
-        image = np.asarray(image_u8)
-        if live_progress:
-            sampler.set_progress_callback(None)
-        elif callback is not None:
+        try:
+            image_u8, latent = sampler.generate(
+                self.unet_params,
+                self.vae_params,
+                jnp.asarray(latent0, dtype),
+                jnp.asarray(context, jnp.float32),
+                jnp.asarray(uncond_context, jnp.float32) if use_cfg else None,
+                jnp.asarray(t_embs, jnp.float32),
+                rows,
+                jnp.float32(unconditional_guidance_scale),
+                jnp.float32(guidance_rescale),
+                noise_key=jax.random.fold_in(key, 1),
+                controlnet_params=self.controlnet_params if use_controls else None,
+                hint=hint,
+                init_latent=jnp.asarray(np.repeat(init_latent, batch_size, axis=0), jnp.float32)
+                if inpaint_active else None,
+                latent_mask=jnp.asarray(latent_mask, jnp.float32) if inpaint_active else None,
+                blend_noise=jnp.asarray(noise, jnp.float32) if inpaint_active else None,
+                image_for_blend=jnp.asarray(image01, jnp.float32)
+                if (use_inpaint and image01 is not None) else None,
+                pixel_mask=jnp.asarray(pixel_mask, jnp.float32)
+                if (use_inpaint and image01 is not None) else None,
+                use_cfg=use_cfg,
+                active_tcd=schedule.active_tcd,
+                stochastic=schedule.active_tcd and eta > 0.0,
+                use_controls=use_controls,
+                use_inpaint=inpaint_active,
+                with_progress=live_progress,
+            )
+            image = np.asarray(image_u8)
+        finally:
+            # Always clear the module-global callback so a failed run cannot leak
+            # it into the next generate_image call.
+            if live_progress:
+                sampler.set_progress_callback(None)
+        if callback is not None and not live_progress:
             for i in range(schedule.num_steps):  # post-hoc fallback
                 callback(i + 1)
         if return_latent:
