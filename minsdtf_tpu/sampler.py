@@ -65,7 +65,7 @@ def rescale_noise_cfg(noise_cfg, noise_pred_text, guidance_rescale, epsilon=1e-5
     jax.jit,
     static_argnames=(
         "use_cfg", "active_tcd", "stochastic", "use_controls", "use_inpaint", "decode",
-        "with_progress",
+        "with_progress", "lcm", "sp",
     ),
     donate_argnames=("latent0",),
 )
@@ -95,6 +95,11 @@ def generate(
     use_inpaint: bool,
     decode: bool = True,
     with_progress: bool = False,
+    lcm: bool = False,
+    # identity of the process-global sequence-parallel config
+    # (ops.attention.sequence_parallel_key()). Not read in the body — it exists so
+    # traces with different SP settings cannot collide in the jit cache.
+    sp=None,
 ):
     """Run the full denoise(+decode) program. Returns ``(image_uint8, latent)`` when
     ``decode`` else ``(None, latent)``."""
@@ -151,7 +156,16 @@ def generate(
         eps = unet_eps(latent, step["t_emb"]).astype(jnp.float32)
         lat32 = latent.astype(jnp.float32)
         x0 = (lat32 - step["nr_t"] * eps) / step["sr_t"]
-        if active_tcd:
+        if lcm:
+            # LCM consistency update (scheduler.LCMScheduler.step): boundary-scaled
+            # denoise, then full re-noise to prev_t with fresh z (except last step).
+            denoised = step["c_out"] * x0 + step["c_skip"] * lat32
+            z = jax.random.normal(
+                jax.random.fold_in(noise_key, step["idx"]), lat32.shape, jnp.float32
+            )
+            renoised = step["sr_prev"] * denoised + step["nr_prev"] * z
+            new = jnp.where(step["is_last"] > 0, denoised, renoised)
+        elif active_tcd:
             denoised = step["sr_s"] * x0 + step["nr_s"] * eps
             if stochastic:
                 z = jax.random.normal(

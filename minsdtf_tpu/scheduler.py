@@ -260,6 +260,62 @@ class Scheduler:
         return self.num_train_timesteps
 
 
+class LCMScheduler(Scheduler):
+    """Latent Consistency Model sampler (reference README TODO "Sampler",
+    README.md:150) — the few-step predecessor of TCD.
+
+    Same distillation timestep grid as TCD (``tcd_timesteps``), but the update uses
+    the consistency-model boundary conditions: with ``st = t * timestep_scaling``,
+
+        c_skip = sigma_data^2 / (st^2 + sigma_data^2)
+        c_out  = st / sqrt(st^2 + sigma_data^2)
+        denoised = c_out * pred_x0 + c_skip * latent_prev
+        x' = last ? denoised : sr_prev * denoised + nr_prev * z   (fresh z per step)
+
+    (LCM paper arXiv:2310.04378; the standard diffusers-style discrete boundary
+    scaling with sigma_data=0.5, timestep_scaling=10.)
+    """
+
+    def __init__(self, *args, sigma_data: float = 0.5, timestep_scaling: float = 10.0,
+                 **kwargs):
+        kwargs["active_tcd"] = True  # reuse the TCD timestep-grid machinery
+        super().__init__(*args, **kwargs)
+        self.mode = "lcm"
+        self.sigma_data = float(sigma_data)
+        self.timestep_scaling = float(timestep_scaling)
+
+    def boundary_scalings(self, timestep):
+        st = np.asarray(timestep, np.float64) * self.timestep_scaling
+        c_skip = self.sigma_data**2 / (st**2 + self.sigma_data**2)
+        c_out = st / np.sqrt(st**2 + self.sigma_data**2)
+        return c_skip, c_out
+
+    def step(self, latent: np.ndarray, timestep: int, latent_prev: np.ndarray,
+             eta: float = 0.3):
+        """``eta`` is accepted for interface parity and ignored (LCM always
+        re-noises fully between steps)."""
+        if self.num_inference_steps is None:
+            raise ValueError("Call `set_timesteps` before `step`.")
+        if self.step_index is None:
+            self._init_step_index(timestep)
+        i = self.step_index
+        is_last = i == self.num_inference_steps - 1
+        prev_t = int(self.timesteps[i + 1]) if i + 1 < len(self.timesteps) else 0
+
+        sr_t = self.signal_rates[timestep]
+        nr_t = self.noise_rates[timestep]
+        pred_x0 = (latent_prev - nr_t * latent) / sr_t
+        c_skip, c_out = self.boundary_scalings(timestep)
+        denoised = c_out * pred_x0 + c_skip * latent_prev
+        if is_last:
+            out = denoised
+        else:
+            noise = np.random.randn(*latent.shape).astype(np.float32)
+            out = self.signal_rates[prev_t] * denoised + self.noise_rates[prev_t] * noise
+        self._step_index += 1
+        return out
+
+
 @dataclasses.dataclass(frozen=True)
 class DenoiseSchedule:
     """Per-step coefficients, stacked for consumption by the jitted ``lax.scan``.
@@ -275,6 +331,8 @@ class DenoiseSchedule:
         DDIM-like:  x' = last ? x0 : sr_prev * x0 + nr_prev * eps
         TCD:        d  = sr_s * x0 + nr_s * eps
                     x' = (last or eta==0) ? d : c_denoised * d + c_noise * z
+        LCM:        d  = c_out * x0 + c_skip * x
+                    x' = last ? d : sr_prev * d + nr_prev * z
     """
 
     timesteps: np.ndarray        # (n,) int32, descending — the t fed to the UNet
@@ -289,6 +347,10 @@ class DenoiseSchedule:
     is_last: np.ndarray          # (n,) float32 {0,1}
     active_tcd: bool
     eta: float
+    # LCM consistency boundary scalings (zeros unless mode == "lcm")
+    c_skip: np.ndarray = None    # sigma_d^2 / (st^2 + sigma_d^2)
+    c_out: np.ndarray = None     # st / sqrt(st^2 + sigma_d^2)
+    mode: str = ""               # "" -> derived from active_tcd; "lcm" -> LCM update
     # img2img: the timestep at which the init latent is noised. The reference uses
     # ascending[k] — one step ABOVE the first iterated step (stable_diffusion.py:414:
     # `init_time = timesteps[num_steps]` after ascending reversal) — NOT the first
@@ -327,9 +389,11 @@ def build_denoise_schedule(
     # reference indexes out of bounds when k == n, so clamp to the top of the schedule.
     init_timestep = int(full[start - 1]) if start > 0 else int(full[0])
 
+    mode = getattr(scheduler, "mode", "")
     acp = scheduler.alphas_cumprod
     rows_t, rows = [], {k: [] for k in (
-        "sr_t", "nr_t", "sr_prev", "nr_prev", "sr_s", "nr_s", "c_denoised", "c_noise", "is_last")}
+        "sr_t", "nr_t", "sr_prev", "nr_prev", "sr_s", "nr_s", "c_denoised", "c_noise",
+        "c_skip", "c_out", "is_last")}
     for i in range(start, n):
         t = int(full[i])
         is_last = i == n - 1
@@ -347,12 +411,20 @@ def build_denoise_schedule(
         rows["nr_s"].append(np.sqrt(1.0 - a_s))
         rows["c_denoised"].append(np.sqrt(a_prev / a_s))
         rows["c_noise"].append(np.sqrt(max(0.0, 1.0 - a_prev / a_s)))
+        if mode == "lcm":
+            c_skip, c_out = scheduler.boundary_scalings(t)
+            rows["c_skip"].append(float(c_skip))
+            rows["c_out"].append(float(c_out))
+        else:
+            rows["c_skip"].append(0.0)
+            rows["c_out"].append(0.0)
         rows["is_last"].append(1.0 if is_last else 0.0)
 
     return DenoiseSchedule(
         timesteps=np.asarray(rows_t, dtype=np.int32),
         active_tcd=scheduler.active_tcd,
         eta=eta,
+        mode=mode,
         init_timestep=init_timestep,
         **{k: np.asarray(v, dtype=np.float32) for k, v in rows.items()},
     )

@@ -191,6 +191,50 @@ def test_scan_with_controlnet(unet_params):
     np.testing.assert_allclose(np.asarray(got), latent, rtol=2e-4, atol=2e-4)
 
 
+def test_scan_matches_host_loop_lcm(unet_params):
+    """LCM branch: scan equals an explicit loop that replays the SAME fold_in noise
+    stream the device draws (so the stochastic re-noise is compared exactly)."""
+    rng = np.random.RandomState(0)
+    sched = sched_lib.LCMScheduler()
+    schedule = sched_lib.build_denoise_schedule(sched, 3)
+    t_embs = sched_lib.timestep_embedding(schedule.timesteps, dim=SMALL["widths"][0])
+    latent0 = rng.normal(0, 1, (B, H, W, 4)).astype(np.float32)
+    context = rng.normal(0, 1, (B, 77, 768)).astype(np.float32)
+    uncond = rng.normal(0, 1, (B, 77, 768)).astype(np.float32)
+    key = jax.random.PRNGKey(9)
+    scale = 2.0
+
+    apply = jax.jit(unet_lib.apply)
+    latent = latent0.copy()
+    for i in range(schedule.num_steps):
+        t_emb = np.repeat(t_embs[i][None], B, axis=0)
+        e_u = np.asarray(apply(unet_params, latent, t_emb, uncond), np.float32)
+        e_c = np.asarray(apply(unet_params, latent, t_emb, context), np.float32)
+        eps = e_u + scale * (e_c - e_u)
+        x0 = (latent - schedule.nr_t[i] * eps) / schedule.sr_t[i]
+        d = schedule.c_out[i] * x0 + schedule.c_skip[i] * latent
+        if schedule.is_last[i]:
+            latent = d.astype(np.float32)
+        else:
+            z = np.asarray(jax.random.normal(
+                jax.random.fold_in(key, np.uint32(i)), latent.shape, jnp.float32))
+            latent = (schedule.sr_prev[i] * d + schedule.nr_prev[i] * z).astype(np.float32)
+
+    rows = {k: getattr(schedule, k) for k in (
+        "sr_t", "nr_t", "sr_prev", "nr_prev", "sr_s", "nr_s",
+        "c_denoised", "c_noise", "c_skip", "c_out", "is_last")}
+    _, got = sampler.generate(
+        unet_params, None,
+        jnp.asarray(latent0), jnp.asarray(context), jnp.asarray(uncond),
+        jnp.asarray(t_embs), rows,
+        jnp.float32(scale), jnp.float32(0.0),
+        noise_key=key,
+        use_cfg=True, active_tcd=False, stochastic=False, lcm=True,
+        use_controls=False, use_inpaint=False, decode=False,
+    )
+    np.testing.assert_allclose(np.asarray(got), latent, rtol=2e-4, atol=2e-4)
+
+
 def test_progress_callback(unet_params):
     """with_progress emits one callback per scan step from inside the jit."""
     schedule, t_embs, latent0, context, uncond = _setup(False, steps=3)

@@ -135,6 +135,55 @@ def test_img2img_truncated_schedule():
     assert dev.init_timestep == full.timesteps[n - k - 1]
 
 
+def test_lcm_timesteps_use_tcd_grid():
+    """LCM shares the distillation grid (k = T//orig, (1..orig)*k - 1 subsampled)."""
+    lcm = sch.LCMScheduler()
+    tcd = sch.Scheduler(active_tcd=True)
+    lcm.set_timesteps(4)
+    tcd.set_timesteps(4)
+    np.testing.assert_array_equal(lcm.timesteps, tcd.timesteps)
+
+
+def test_lcm_boundary_scalings():
+    """c_skip/c_out: sigma_data=0.5, timestep_scaling=10 (arXiv:2310.04378)."""
+    lcm = sch.LCMScheduler()
+    for t in (0, 19, 999):
+        st = t * 10.0
+        c_skip, c_out = lcm.boundary_scalings(t)
+        np.testing.assert_allclose(c_skip, 0.25 / (st**2 + 0.25), rtol=1e-12)
+        np.testing.assert_allclose(c_out, st / np.sqrt(st**2 + 0.25), rtol=1e-12)
+    # consistency boundary: at t=0 the update is the identity map on x0-mixed input
+    c_skip, c_out = lcm.boundary_scalings(0)
+    assert c_skip == 1.0 and c_out == 0.0
+
+
+def test_lcm_denoise_schedule_matches_host_step():
+    """Stacked LCM rows reproduce LCMScheduler.step (noise zeroed on both sides)."""
+    rng = np.random.RandomState(3)
+    n = 4
+    shape = (1, 4, 4, 4)
+    host = sch.LCMScheduler()
+    dev = sch.build_denoise_schedule(sch.LCMScheduler(), num_steps=n)
+    assert dev.mode == "lcm"
+    host.set_timesteps(n)
+    np.testing.assert_array_equal(dev.timesteps, host.timesteps)
+
+    latent = rng.randn(*shape).astype(np.float32)
+    for i in range(dev.num_steps):
+        eps = rng.randn(*shape).astype(np.float32)
+        orig_randn = np.random.randn
+        np.random.randn = lambda *s: np.zeros(s)
+        try:
+            want = host.step(eps, int(dev.timesteps[i]), latent)
+        finally:
+            np.random.randn = orig_randn
+        x0 = (latent - dev.nr_t[i] * eps) / dev.sr_t[i]
+        d = dev.c_out[i] * x0 + dev.c_skip[i] * latent
+        got = d if dev.is_last[i] else dev.sr_prev[i] * d + dev.nr_prev[i] * 0.0
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+        latent = want.astype(np.float32)
+
+
 def test_timestep_embedding_matches_reference_formula():
     # reference stable_diffusion.py:543-553
     def ref_emb(timestep, dim=320, max_period=10000):
