@@ -1,18 +1,28 @@
 """Headline benchmark: SD1.5 512x512, 25-step txt2img, CFG 7.5, one chip.
 
 Prints exactly ONE JSON line on stdout:
-  {"metric": ..., "value": sec/image, "unit": "s/img", "vs_baseline": utilization}
+  {"metric": ..., "value": sec/image, "unit": "s/img", "vs_baseline": utilization,
+   "min": ..., "max": ..., "throughput_b8": ..., "tcd4_b8": ..., "e2e_prompt"?}
 
 The reference publishes no speed numbers (BASELINE.md), so ``vs_baseline`` reports
 achieved fraction of the analytic speed-of-light for this workload on the local chip
-(BASELINE.md's utilization north star): higher is better, 1.0 = ideal.
+(BASELINE.md's utilization north star): higher is better, 1.0 = ideal. The headline
+``value`` is the MEDIAN of repeats (typical throughput); min/max expose the measured
+±5% tunnel jitter. Extra fields published every run (VERDICT r1 #8):
 
-Weights are seeded-random (zero-egress env) — identical compute graph & cost to real
-weights. Env overrides: BENCH_STEPS, BENCH_SIZE, BENCH_BATCH, BENCH_REPEATS.
+  - ``e2e_prompt``: full prompt -> image seconds (tokenize + LPW + CLIP + sampler),
+    vs the headline which times ``generate_image`` from a precomputed context;
+  - ``throughput_b8``: batch-8 s/img, the serving-throughput configuration;
+  - ``tcd4_b8``: TCD 4-step batch-8 s/img, the few-step distilled-serving config.
+
+A compiled-kernel parity selfcheck (Pallas vs XLA on THIS chip) runs first;
+MINSDTF_SELFCHECK=0 skips. Weights are seeded-random (zero-egress env) — identical
+compute graph & cost to real weights. Env overrides: BENCH_STEPS, BENCH_SIZE,
+BENCH_BATCH, BENCH_REPEATS, BENCH_TCD=1 (headline in TCD mode),
+BENCH_EXTRAS=0 (skip the extra-field measurements).
 """
 
 import contextlib
-import io
 import json
 import os
 import sys
@@ -42,42 +52,76 @@ def peak_flops():
     return 394e12
 
 
+def _time_runs(jax, fn, repeats, warm_args, timed_args):
+    fn(*warm_args)  # compile
+    times = []
+    for i, args in enumerate(timed_args[:repeats]):
+        t0 = time.perf_counter()
+        out = fn(*args)
+        jax.block_until_ready(out)
+        times.append(time.perf_counter() - t0)
+    return times
+
+
 def main():
     steps = int(os.environ.get("BENCH_STEPS", 25))
     size = int(os.environ.get("BENCH_SIZE", 512))
     batch = int(os.environ.get("BENCH_BATCH", 1))
     repeats = int(os.environ.get("BENCH_REPEATS", 3))
-    tcd = os.environ.get("BENCH_TCD") == "1"  # few-step distilled-sampler config
+    tcd = os.environ.get("BENCH_TCD") == "1"  # headline in few-step TCD mode
+    extras = os.environ.get("BENCH_EXTRAS", "1") == "1" and size == 512 and not tcd
 
     import jax
 
+    result_extra = {}
     with contextlib.redirect_stdout(sys.stderr):
+        # Opt-out preamble: verify the COMPILED Pallas kernels against XLA on this
+        # chip at the production shapes before timing anything (a Mosaic miscompile
+        # would otherwise ship silently — bench checks speed, not values).
+        if os.environ.get("MINSDTF_SELFCHECK", "1") == "1":
+            from minsdtf_tpu.tools import selfcheck
+
+            selfcheck.check_flash_attention()
+
         from minsdtf_tpu.pipeline import StableDiffusion
 
         pipe = StableDiffusion(img_height=size, img_width=size, active_tcd=tcd)
         rng = np.random.RandomState(0)
         encoded = rng.normal(0, 1, (77, 768)).astype(np.float32)
 
-        def run(seed):
-            img = pipe.generate_image(
-                encoded,
-                batch_size=batch,
-                num_steps=steps,
-                unconditional_guidance_scale=7.5,
-                guidance_rescale=0.7,
-                seed=seed,
+        def run(seed, b=batch, n=steps, p=pipe):
+            return p.generate_image(
+                encoded, batch_size=b, num_steps=n,
+                unconditional_guidance_scale=7.5, guidance_rescale=0.7, seed=seed,
             )
-            return img
 
-        run(1)  # compile
-        times = []
-        for i in range(repeats):
-            t0 = time.perf_counter()
-            img = run(i + 2)
-            jax.block_until_ready(img)
-            times.append(time.perf_counter() - t0)
-        # best-of-repeats: robust to transient tunnel/host jitter (measured ±5%)
-        elapsed = min(times)
+        times = _time_runs(jax, run, repeats, (1,), [(i + 2,) for i in range(repeats)])
+        # headline = median (typical); min/max expose the ±5% tunnel jitter.
+        elapsed = float(np.median(times))
+
+        if extras:
+            # batch-8 serving throughput (same program, batched)
+            t8 = _time_runs(jax, lambda s: run(s, b=8), 2, (1,), [(2,), (3,)])
+            result_extra["throughput_b8"] = round(float(np.median(t8)) / 8, 4)
+            # TCD 4-step batch-8: the few-step distilled-serving config
+            tcd_pipe = StableDiffusion(img_height=size, img_width=size, active_tcd=True)
+            tt = _time_runs(
+                jax, lambda s: run(s, b=8, n=4, p=tcd_pipe), 2, (1,), [(2,), (3,)]
+            )
+            result_extra["tcd4_b8"] = round(float(np.median(tt)) / 8, 4)
+            # full prompt -> image (tokenize + LPW + CLIP + sampler) — needs the CLIP
+            # BPE merges file, which cannot be downloaded in the zero-egress env;
+            # emitted whenever MINSDTF_BPE points at one.
+            bpe = os.environ.get("MINSDTF_BPE")
+            if bpe and os.path.exists(bpe):
+                pipe.bpe_path = bpe
+                pipe.text_to_image("a photograph of an astronaut", num_steps=steps,
+                                   seed=1)  # compile text stack
+                t0 = time.perf_counter()
+                img = pipe.text_to_image("a photograph of an astronaut riding a horse",
+                                         num_steps=steps, seed=9)
+                jax.block_until_ready(img)
+                result_extra["e2e_prompt"] = round(time.perf_counter() - t0, 4)
 
     sec_per_image = elapsed / batch
     ideal = flops_per_image(size, size, steps, 1) / peak_flops()
@@ -87,6 +131,9 @@ def main():
         "value": round(sec_per_image, 4),
         "unit": "s/img",
         "vs_baseline": round(ideal / sec_per_image, 4),
+        "min": round(min(times) / batch, 4),
+        "max": round(max(times) / batch, 4),
+        **result_extra,
     }
     print(json.dumps(result))
 

@@ -38,7 +38,7 @@ from minsdtf_tpu.ops.basic import (
     group_norm_silu,
     layer_norm,
     silu,
-    upsample_nearest_2x,
+    upsample2x_conv3x3,
 )
 
 NUM_HEADS = 8
@@ -153,8 +153,7 @@ def apply(
     for j in range(3):
         x = jnp.concatenate([x, skips.pop()], axis=-1)
         x = resblock(params, f"up_blocks.0.resnets.{j}", x, temb)
-    x = upsample_nearest_2x(x)
-    x = conv2d(x, params["up_blocks.0.upsamplers.0.conv"], padding=1)
+    x = upsample2x_conv3x3(x, params["up_blocks.0.upsamplers.0.conv"])
     # up_blocks.1..3: [concat, ResBlock, SpatialTransformer] x3 (+ upsampler on 1,2)
     for level in (1, 2, 3):
         for j in range(3):
@@ -162,8 +161,7 @@ def apply(
             x = resblock(params, f"up_blocks.{level}.resnets.{j}", x, temb)
             x = spatial_transformer(params, f"up_blocks.{level}.attentions.{j}", x, context)
         if level < 3:
-            x = upsample_nearest_2x(x)
-            x = conv2d(x, params[f"up_blocks.{level}.upsamplers.0.conv"], padding=1)
+            x = upsample2x_conv3x3(x, params[f"up_blocks.{level}.upsamplers.0.conv"])
     assert not skips
 
     # ---- exit ------------------------------------------------------------------------

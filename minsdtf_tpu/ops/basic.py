@@ -153,3 +153,57 @@ def upsample_nearest_2x(x: jax.Array) -> jax.Array:
     b, h, w, c = x.shape
     x = jnp.broadcast_to(x[:, :, None, :, None, :], (b, h, 2, w, 2, c))
     return x.reshape(b, h * 2, w * 2, c)
+
+
+def upsample2x_conv3x3(x: jax.Array, p: dict) -> jax.Array:
+    """Fused ``conv2d(upsample_nearest_2x(x), p, padding=1)`` as four subpixel
+    phase convolutions at SOURCE resolution.
+
+    Over a nearest-2x-upsampled grid, the 3x3 window at output phase (a, b) ∈ {0,1}²
+    only ever reads a 2x2 source neighbourhood, with some taps landing on the same
+    source pixel. Summing those taps gives a 2x2 effective kernel per phase:
+
+        rows a=0: tap k[0] -> source row i-1; k[1]+k[2] -> row i
+        rows a=1: k[0]+k[1] -> row i;        k[2]     -> row i+1   (same for columns)
+
+    Exact (sums of the same products), 16 source-res MACs per output quartet instead
+    of the direct form's 36 at 2x res — and the (B, 2H, 2W, C) upsampled intermediate
+    never exists in HBM. This is the VAE decoder's main traffic: its three
+    upsample+conv pairs at 512/512/256 channels dominate the decode's HBM bytes
+    (reference ``image_decoder.py:22-66`` materializes every upsample through Keras).
+    """
+    k = p["kernel"].astype(x.dtype)  # (3, 3, Cin, Cout)
+    # row-phase combination: (2, 3, Cin, Cout) each, taps ordered by source offset
+    rows = (
+        jnp.stack([k[0], k[1] + k[2]]),          # a=0: offsets (-1, 0)
+        jnp.stack([k[0] + k[1], k[2]]),          # a=1: offsets (0, +1)
+    )
+    # column-phase combination applied to each row kernel -> 2x2 per (a, b)
+    def cols(kr):
+        return (
+            jnp.stack([kr[:, 0], kr[:, 1] + kr[:, 2]], axis=1),  # b=0: (-1, 0)
+            jnp.stack([kr[:, 0] + kr[:, 1], kr[:, 2]], axis=1),  # b=1: (0, +1)
+        )
+
+    # per-phase source padding: offset -1 needs a leading pad, +1 a trailing pad
+    pads = {0: (1, 0), 1: (0, 1)}
+    prec = matmul_precision(x.dtype)
+
+    def phase(kernel, a, b):
+        return jax.lax.conv_general_dilated(
+            x, kernel, window_strides=(1, 1), padding=(pads[a], pads[b]),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32, precision=prec,
+        ).astype(x.dtype)
+
+    k00, k01 = cols(rows[0])
+    k10, k11 = cols(rows[1])
+    y00, y01 = phase(k00, 0, 0), phase(k01, 0, 1)
+    y10, y11 = phase(k10, 1, 0), phase(k11, 1, 1)
+    bsz, h, w, cout = y00.shape
+    row0 = jnp.stack([y00, y01], axis=3)          # (B, H, W, 2, C)
+    row1 = jnp.stack([y10, y11], axis=3)
+    out = jnp.stack([row0, row1], axis=2).reshape(bsz, 2 * h, 2 * w, cout)
+    if "bias" in p:
+        out = out + p["bias"].astype(x.dtype)
+    return out

@@ -16,6 +16,7 @@ internally), q_len ∈ {64..65536}, kv_len either equal to q_len (self-attn) or 
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -56,8 +57,70 @@ def supports(q_len: int, kv_len: int, head_dim: int, causal: bool = False) -> bo
     # on the XLA einsum path (the score matrix is small; kernel overhead dominates).
     if kv_len < 512:
         return False
+    if _use_onepass(q_len, kv_len, head_dim):
+        return True
     block_q, block_k = _pick_blocks(q_len, kv_len)
     return q_len % block_q == 0 and (kv_len == block_k or kv_len % block_k == 0)
+
+
+LOG2E = 1.4426950408889634
+# One-pass path: whole KV row resident in VMEM, plain (non-online) softmax. For the
+# SD1.5 self-attention sizes (kv <= 4096, d <= 160) this removes the online-softmax
+# correction math (exp(m_prev-m_new), accumulator rescales, scratch round-trips) —
+# measured faster than the online kernel at every production shape. Larger kv or
+# head_dim (VAE spatial attention d=512, >=1024px images) falls back to the online
+# kernel, whose VMEM use is O(block_k).
+ONEPASS_MAX_KV = 4096
+ONEPASS_MAX_D = 160
+
+
+def _use_onepass(q_len: int, kv_len: int, head_dim: int) -> bool:
+    if os.environ.get("MINSDTF_FLASH_ONEPASS", "1") != "1":
+        return False
+    if kv_len > ONEPASS_MAX_KV or head_dim > ONEPASS_MAX_D:
+        return False
+    return _onepass_block_q(q_len, kv_len) is not None
+
+
+def _onepass_block_q(q_len: int, kv_len: int):
+    """Largest power-of-two q block whose fp32 scores fit the VMEM budget and that
+    divides q_len; None if no valid block exists."""
+    budget = SCORES_BUDGET_BYTES // (4 * kv_len)
+    block = 64
+    while block * 2 <= min(budget, MAX_BLOCK_Q, q_len):
+        block *= 2
+    while q_len % block != 0 and block > 64:
+        block //= 2
+    if block > budget or q_len % block != 0:
+        return None
+    return block
+
+
+def _onepass_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, d: int):
+    """Single-KV-block attention: scores for the whole row in VMEM, one softmax.
+
+    exp2 with the log2e factor folded into the q scaling (one multiply on the tiny
+    (block_q, d) tile instead of the (block_q, kv) score matrix); the softmax
+    denominator comes out of the MXU via a ones-column appended to V, so the VPU
+    does only max / sub / exp2."""
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    qs = (q.astype(jnp.float32) * (scale * LOG2E)).astype(q.dtype)
+    prec = jax.lax.Precision.HIGHEST if q_ref.dtype == jnp.float32 else None
+    s = jax.lax.dot_general(
+        qs, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+        precision=prec,
+    )  # (block_q, kv) — log2-domain scores
+    m = jnp.max(s, axis=1, keepdims=True)
+    p = jnp.exp2(s - m)
+    ones = jnp.ones((v.shape[0], 1), dtype=v.dtype)
+    vl = jnp.concatenate([v, ones], axis=1)  # (kv, d+1): PV and the row sum fused
+    pvl = jax.lax.dot_general(
+        p.astype(v.dtype), vl, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec,
+    )
+    o_ref[0] = (pvl[:, :d] / pvl[:, d:]).astype(o_ref.dtype)
 
 
 def _kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *, scale: float, kv_blocks: int):
@@ -112,15 +175,32 @@ def flash_attention(
     assert not causal, "causal path uses XLA (see ops.attention)"
     b, sq, h, d = q.shape
     sk = k.shape[1]
-    block_q, block_k = _pick_blocks(sq, sk)
-    assert sq % block_q == 0 and (sk == block_k or sk % block_k == 0)
-    kv_blocks = pl.cdiv(sk, block_k)
 
     # (B, S, H, D) -> (B*H, S, D): each batch-head row is an independent instance.
     def fold(x, s):
         return x.transpose(0, 2, 1, 3).reshape(b * h, s, x.shape[-1])
 
     qf, kf, vf = fold(q, sq), fold(k, sk), fold(v, sk)
+
+    if _use_onepass(sq, sk, d):
+        block_q = _onepass_block_q(sq, sk)
+        out = pl.pallas_call(
+            functools.partial(_onepass_kernel, scale=scale, d=d),
+            grid=(b * h, sq // block_q),
+            in_specs=[
+                pl.BlockSpec((1, block_q, d), lambda ibh, iq: (ibh, iq, 0)),
+                pl.BlockSpec((1, sk, d), lambda ibh, iq: (ibh, 0, 0)),
+                pl.BlockSpec((1, sk, d), lambda ibh, iq: (ibh, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, block_q, d), lambda ibh, iq: (ibh, iq, 0)),
+            out_shape=jax.ShapeDtypeStruct((b * h, sq, d), q.dtype),
+            interpret=interpret,
+        )(qf, kf, vf)
+        return out.reshape(b, h, sq, d).transpose(0, 2, 1, 3)
+
+    block_q, block_k = _pick_blocks(sq, sk)
+    assert sq % block_q == 0 and (sk == block_k or sk % block_k == 0)
+    kv_blocks = pl.cdiv(sk, block_k)
 
     grid = (b * h, sq // block_q, kv_blocks)
     out = pl.pallas_call(
