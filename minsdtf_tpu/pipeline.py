@@ -33,7 +33,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from minsdtf_tpu import imaging, sampler, scheduler as sched_lib
+from minsdtf_tpu import imaging, rng as rng_lib, sampler, scheduler as sched_lib
+from minsdtf_tpu.ops import attention as attention_ops
 from minsdtf_tpu.models import clip as clip_lib
 from minsdtf_tpu.models import controlnet as controlnet_lib
 from minsdtf_tpu.models import unet as unet_lib
@@ -103,14 +104,43 @@ class StableDiffusion:
         bpe_path: Optional[str] = None,
         compute_dtype=None,
         mesh=None,
+        scheduler_type: Optional[str] = None,
+        sequence_parallel: bool = False,
     ):
         self.img_height = int(img_height)
         self.img_width = int(img_width)
         self.clip_skip = int(clip_skip)
-        self.active_tcd = bool(active_tcd)
         self.compute_dtype = compute_dtype or _default_dtype()
         self.mesh = mesh
-        self.scheduler = sched_lib.Scheduler(active_tcd=active_tcd)
+        # Sequence parallelism: shard the self-attention token axis over the mesh's
+        # `model` axis via ring attention (ops/ring_attention.py) for >=1024px
+        # generation. Weights are then REPLICATED (the model axis carries tokens,
+        # not Megatron shards). Process-global, like the attention impl choice.
+        self.sequence_parallel = bool(sequence_parallel) and mesh is not None
+        if self.sequence_parallel:
+            from minsdtf_tpu.parallel.mesh import MODEL_AXIS
+
+            attention_ops.set_sequence_parallel(
+                mesh, MODEL_AXIS,
+                min_seq=int(os.environ.get("MINSDTF_SP_MIN_SEQ", 16384)),
+            )
+        else:
+            attention_ops.set_sequence_parallel(None)
+        # scheduler_type supersets the reference's active_tcd flag: None derives from
+        # active_tcd; "lcm" selects the LCM consistency sampler (reference TODO
+        # "Sampler", README.md:150) over the same distillation timestep grid.
+        if scheduler_type is None:
+            scheduler_type = "tcd" if active_tcd else "ddim"
+        if scheduler_type == "lcm":
+            self.scheduler = sched_lib.LCMScheduler()
+        elif scheduler_type == "tcd":
+            self.scheduler = sched_lib.Scheduler(active_tcd=True)
+        elif scheduler_type == "ddim":
+            self.scheduler = sched_lib.Scheduler(active_tcd=False)
+        else:
+            raise ValueError(f"unknown scheduler_type: {scheduler_type!r}")
+        self.scheduler_type = scheduler_type
+        self.active_tcd = self.scheduler.active_tcd
 
         self.unet_ckpt = unet_ckpt
         self.text_encoder_ckpt = text_encoder_ckpt
@@ -228,6 +258,8 @@ class StableDiffusion:
             return params
         from minsdtf_tpu.parallel import sharding
 
+        if self.sequence_parallel:
+            return sharding.replicate_params(params, self.mesh)
         return sharding.shard_params(params, self.mesh)
 
     @property
@@ -463,8 +495,13 @@ class StableDiffusion:
                 noise = np.repeat(noise[None], batch_size, axis=0)
             noise = jnp.asarray(noise, jnp.float32)
         else:
-            # stays on device — no host round trip
-            noise = jax.random.normal(key, (batch_size, h8, w8, 4), jnp.float32)
+            # TF-Philox-compatible host generator: the SAME integer seed yields the
+            # SAME initial noise as the reference's keras.random.normal(seed)
+            # (stable_diffusion.py:555-557), so seed-only runs reproduce reference
+            # images. The latent is KBs — host generation costs nothing.
+            noise = jnp.asarray(
+                rng_lib.stateless_normal((batch_size, h8, w8, 4), seed), jnp.float32
+            )
 
         # ---- img2img / inpaint preprocessing --------------------------------------
         strength = None
@@ -513,8 +550,9 @@ class StableDiffusion:
         rows = {
             k: getattr(schedule, k)
             for k in ("sr_t", "nr_t", "sr_prev", "nr_prev", "sr_s", "nr_s",
-                      "c_denoised", "c_noise", "is_last")
+                      "c_denoised", "c_noise", "c_skip", "c_out", "is_last")
         }
+        is_lcm = schedule.mode == "lcm"
         inpaint_active = use_inpaint and init_latent is not None
         live_progress = callback is not None and _host_callbacks_supported()
         if live_progress:
@@ -542,11 +580,13 @@ class StableDiffusion:
                 pixel_mask=jnp.asarray(pixel_mask, jnp.float32)
                 if (use_inpaint and image01 is not None) else None,
                 use_cfg=use_cfg,
-                active_tcd=schedule.active_tcd,
-                stochastic=schedule.active_tcd and eta > 0.0,
+                active_tcd=schedule.active_tcd and not is_lcm,
+                stochastic=schedule.active_tcd and not is_lcm and eta > 0.0,
+                lcm=is_lcm,
                 use_controls=use_controls,
                 use_inpaint=inpaint_active,
                 with_progress=live_progress,
+                sp=attention_ops.sequence_parallel_key(),
             )
             image = np.asarray(image_u8)
         finally:

@@ -95,6 +95,22 @@ def test_txt2img_parity(ref_pipe, our_pipe):
     assert img_diff < 1.0, img_diff
 
 
+def test_txt2img_parity_seed_only(ref_pipe, our_pipe):
+    """No injected noise: the SAME integer seed must reproduce the reference image
+    (TF-Philox-compatible initial noise, minsdtf_tpu/rng.py). This is the gate the
+    round-1 suite could not run — every e2e test had to inject diffusion_noise."""
+    ref, captured = ref_pipe
+    encoded, _ = _fixed_inputs(0)
+    kw = dict(num_steps=STEPS, unconditional_guidance_scale=7.5,
+              guidance_rescale=0.7, seed=123456)
+    ref_img = ref.generate_image(encoded, **kw)
+    our_img, our_latent = our_pipe.generate_image(encoded, return_latent=True, **kw)
+    latent_mse = float(np.mean(np.square(our_latent - captured["latent"])))
+    assert latent_mse < 1e-2, latent_mse
+    img_diff = np.mean(np.abs(ref_img.astype(np.int32) - our_img.astype(np.int32)))
+    assert img_diff < 1.0, img_diff
+
+
 def test_img2img_parity(ref_pipe, our_pipe):
     ref, captured = ref_pipe
     encoded, noise = _fixed_inputs(1)
