@@ -21,11 +21,37 @@ import jax.numpy as jnp
 
 _IMPL = os.environ.get("MINSDTF_ATTN_IMPL", "auto")  # auto | xla | pallas
 
+# Sequence-parallel context: when set, self-attention over >= min_seq tokens runs as
+# ring attention with the token axis sharded over `axis_name` (ops/ring_attention.py)
+# — the multi-chip scaling path for >1024px generation (reference GUI exposes up to
+# 2048px, app.py:168-185, which is 65k tokens). Process-global by design, like _IMPL:
+# it is configuration of how this process maps attention onto its mesh, set once by
+# the pipeline; callers that jit around it must key their jit cache on it (the
+# sampler passes it as a static arg).
+_SP = None  # (mesh, axis_name, min_seq) | None
+
 
 def set_impl(impl: str) -> None:
     global _IMPL
     assert impl in ("auto", "xla", "pallas")
     _IMPL = impl
+
+
+def set_sequence_parallel(mesh, axis_name: str = "model", min_seq: int = 16384) -> None:
+    """Enable/disable ring-attention SP. ``mesh=None`` disables. ``min_seq`` is the
+    self-attention token count at which sharding kicks in (default: the 1024px
+    latent, 128x128 = 16384 tokens; smaller attentions stay single-device — their
+    blocks are too small to amortize the ring permutes)."""
+    global _SP
+    _SP = None if mesh is None else (mesh, axis_name, int(min_seq))
+
+
+def sequence_parallel_key():
+    """Hashable identity of the SP config, for use as a jit static argument."""
+    if _SP is None:
+        return None
+    mesh, axis_name, min_seq = _SP
+    return (axis_name, min_seq, tuple(mesh.shape.items()))
 
 
 def _pick_impl(q_len: int, kv_len: int, head_dim: int, causal: bool) -> str:
@@ -61,6 +87,15 @@ def multi_head_attention(
     d = hd // num_heads
     if scale is None:
         scale = float(d) ** -0.5
+
+    if _SP is not None and not causal and sq == sk:
+        mesh, axis_name, min_seq = _SP
+        n = int(mesh.shape[axis_name])
+        if n > 1 and sq >= min_seq and sq % n == 0:
+            from minsdtf_tpu.ops.ring_attention import ring_multi_head_attention
+
+            return ring_multi_head_attention(q, k, v, num_heads, mesh, axis_name,
+                                             scale=scale)
 
     impl = _pick_impl(sq, sk, d, causal)
     qh = q.reshape(b, sq, num_heads, d)

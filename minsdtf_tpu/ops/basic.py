@@ -86,32 +86,10 @@ def group_norm(x: jax.Array, p: dict, num_groups: int = 32, eps: float = 1e-5) -
 
 
 def group_norm_silu(x: jax.Array, p: dict, num_groups: int = 32, eps: float = 1e-5) -> jax.Array:
-    """Fused GroupNorm + SiLU — the prologue of every ResBlock conv.
-
-    Default is XLA: in the full UNet graph XLA fuses the norm with neighboring
-    elementwise work, and the standalone Pallas kernel *breaks those fusions* — it
-    wins isolated microbenches at deep levels but loses ~2% end-to-end (measured
-    0.722 s/img XLA vs 0.779 auto-pallas). MINSDTF_GN_IMPL=pallas to experiment."""
-    import os
-
-    impl = os.environ.get("MINSDTF_GN_IMPL", "xla")
-    use_pallas = False
-    if impl != "xla" and x.ndim == 4:
-        small_spatial = x.shape[1] * x.shape[2] <= 512
-        if impl == "pallas" or (impl == "auto" and small_spatial):
-            from minsdtf_tpu.ops import groupnorm as gn
-
-            try:
-                on_tpu = jax.devices()[0].platform == "tpu"
-            except Exception:
-                on_tpu = False
-            use_pallas = on_tpu and gn.supports(x.shape, x.dtype, num_groups)
-    if use_pallas:
-        from minsdtf_tpu.ops import groupnorm as gn
-
-        return gn.group_norm_pallas(
-            x, p["scale"], p["bias"], num_groups=num_groups, eps=eps, with_silu=True
-        )
+    """GroupNorm + SiLU — the prologue of every ResBlock conv. XLA fuses the norm
+    with neighboring elementwise work in the full graph; a standalone Pallas GN
+    kernel was tried in r1/r2 and removed — it broke those fusions (lost ~8% e2e)
+    and failed VMEM allocation at the 4096x960 up-path shapes."""
     h = group_norm(x, p, num_groups=num_groups, eps=eps)
     return h * jax.nn.sigmoid(h)
 

@@ -72,6 +72,10 @@ LOG2E = 1.4426950408889634
 # kernel, whose VMEM use is O(block_k).
 ONEPASS_MAX_KV = 4096
 ONEPASS_MAX_D = 160
+# 8 MB of fp32 scores (vs 6 MB for the online kernel): block_q 512 at kv 4096 —
+# halves the grid steps; measured −4% attention device time (xprof A/B r2). The
+# production onepass shapes (kv<=4096, d<=80) leave ample VMEM for K/V under this.
+ONEPASS_SCORES_BYTES = 8 * 1024 * 1024
 
 
 def _use_onepass(q_len: int, kv_len: int, head_dim: int) -> bool:
@@ -85,7 +89,7 @@ def _use_onepass(q_len: int, kv_len: int, head_dim: int) -> bool:
 def _onepass_block_q(q_len: int, kv_len: int):
     """Largest power-of-two q block whose fp32 scores fit the VMEM budget and that
     divides q_len; None if no valid block exists."""
-    budget = SCORES_BUDGET_BYTES // (4 * kv_len)
+    budget = ONEPASS_SCORES_BYTES // (4 * kv_len)
     block = 64
     while block * 2 <= min(budget, MAX_BLOCK_Q, q_len):
         block *= 2
@@ -102,7 +106,8 @@ def _onepass_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, d: int):
     exp2 with the log2e factor folded into the q scaling (one multiply on the tiny
     (block_q, d) tile instead of the (block_q, kv) score matrix); the softmax
     denominator comes out of the MXU via a ones-column appended to V, so the VPU
-    does only max / sub / exp2."""
+    does only max / sub / exp2. (bf16 exp was tried and is device-time-neutral —
+    the kernel is MXU-bound by the d=40 contraction, xprof A/B r2.)"""
     q = q_ref[0]
     k = k_ref[0]
     v = v_ref[0]

@@ -105,6 +105,53 @@ def test_sharded_generation_matches_single_device(small_params):
     assert np.mean(np.abs(img_got.astype(int) - img_want.astype(int))) < 0.05
 
 
+def test_sequence_parallel_generation_matches_single_device(small_params):
+    """Ring-attention SP inside the PRODUCTION sampler: self-attention tokens sharded
+    over the `model` axis (weights replicated), equals the unsharded run.
+
+    The real trigger is >=1024px (16384 tokens, pipeline default min_seq); on the
+    1-core CI host that shape takes hours, so this test lowers min_seq and drives the
+    identical code path (shard_map ring inside the scanned UNet) at 32x32 latents.
+    The kernel itself is shape-tested at scale in test_ring_attention.py and the
+    >=1024px configs are exercised on real hardware (ROADMAP bench table)."""
+    import minsdtf_tpu.scheduler as sched_lib
+    from minsdtf_tpu import sampler
+    from minsdtf_tpu.ops import attention as attention_ops
+
+    sched = sched_lib.Scheduler(active_tcd=False)
+    schedule = sched_lib.build_denoise_schedule(sched, 2)
+    t_embs = sched_lib.timestep_embedding(schedule.timesteps, dim=32)
+    rows = {k: getattr(schedule, k) for k in (
+        "sr_t", "nr_t", "sr_prev", "nr_prev", "sr_s", "nr_s",
+        "c_denoised", "c_noise", "is_last")}
+    rng = np.random.RandomState(1)
+    latent0 = rng.normal(0, 1, (1, 32, 32, 4)).astype(np.float32)  # S = 1024 tokens
+    ctx = rng.normal(0, 1, (1, 77, 768)).astype(np.float32)
+
+    def run(u_params, sp):
+        _, lat = sampler.generate(
+            u_params, None, jnp.asarray(latent0), jnp.asarray(ctx), None,
+            jnp.asarray(t_embs), rows, jnp.float32(0.0), jnp.float32(0.0),
+            use_cfg=False, active_tcd=False, stochastic=False,
+            use_controls=False, use_inpaint=False, decode=False, sp=sp,
+        )
+        return np.asarray(lat)
+
+    want = run(small_params, None)
+
+    mesh = mesh_lib.make_mesh(data=2, model=4)
+    attention_ops.set_sequence_parallel(mesh, "model", min_seq=1024)
+    try:
+        key = attention_ops.sequence_parallel_key()
+        assert key == ("model", 1024, (("data", 2), ("model", 4)))
+        replicated = sharding.replicate_params(small_params, mesh)
+        with mesh:
+            got = run(replicated, key)
+    finally:
+        attention_ops.set_sequence_parallel(None)
+    np.testing.assert_allclose(got, want, rtol=5e-4, atol=5e-4)
+
+
 def test_train_step_sharded(small_params):
     import optax
 
