@@ -33,14 +33,25 @@ MAX_BLOCK_K = 2048
 MAX_BLOCK_Q = 2048
 
 
-def _pick_blocks(q_len: int, kv_len: int):
-    """(block_q, block_k) maximizing work per grid step under the VMEM budget."""
+def _pick_blocks(q_len: int, kv_len: int, head_dim: int = 128):
+    """(block_q, block_k) maximizing work per grid step under the VMEM budget.
+
+    head_dim matters: Mosaic double-buffers the K/V input blocks, whose VMEM cost is
+    ``2 (K,V) * 2 (buffers) * block_k * pad128(d) * 2 B`` — at d=512 (the VAE's
+    single-head spatial attention, 2048px images) that alone is 8 MB at block_k 2048,
+    so the scores budget must shrink accordingly or the kernel overflows the 16 MB
+    scoped VMEM (hit at 65536 tokens in r2)."""
+    dpad = max(128, head_dim)
     block_k = kv_len
     if block_k > MAX_BLOCK_K:
         block_k = MAX_BLOCK_K
         while kv_len % block_k != 0 and block_k > 128:
             block_k //= 2
-    budget_q = SCORES_BUDGET_BYTES // (4 * block_k)
+    # keep K/V double-buffers within half the budget; shrink block_k if oversized
+    while block_k > 128 and 2 * 2 * block_k * dpad * 2 > SCORES_BUDGET_BYTES:
+        block_k //= 2
+    kv_bytes = 2 * 2 * block_k * dpad * 2
+    budget_q = max(0, SCORES_BUDGET_BYTES - kv_bytes) // (4 * block_k)
     pow2 = 128
     while pow2 * 2 <= min(budget_q, MAX_BLOCK_Q):
         pow2 *= 2
@@ -59,7 +70,7 @@ def supports(q_len: int, kv_len: int, head_dim: int, causal: bool = False) -> bo
         return False
     if _use_onepass(q_len, kv_len, head_dim):
         return True
-    block_q, block_k = _pick_blocks(q_len, kv_len)
+    block_q, block_k = _pick_blocks(q_len, kv_len, head_dim)
     return q_len % block_q == 0 and (kv_len == block_k or kv_len % block_k == 0)
 
 
@@ -203,7 +214,7 @@ def flash_attention(
         )(qf, kf, vf)
         return out.reshape(b, h, sq, d).transpose(0, 2, 1, 3)
 
-    block_q, block_k = _pick_blocks(sq, sk)
+    block_q, block_k = _pick_blocks(sq, sk, d)
     assert sq % block_q == 0 and (sk == block_k or sk % block_k == 0)
     kv_blocks = pl.cdiv(sk, block_k)
 

@@ -56,6 +56,17 @@ def shard_params(params: Dict[str, Dict[str, jax.Array]], mesh: Mesh):
     return out
 
 
+def replicate_params(params: Dict[str, Dict[str, jax.Array]], mesh: Mesh):
+    """Replicate every param across the mesh (used by sequence-parallel generation,
+    where the `model` axis shards the attention token dimension, not the weights)."""
+    out: Dict[str, Dict[str, jax.Array]] = {}
+    for module, leaves in params.items():
+        out[module] = {
+            leaf: jax.device_put(v, NamedSharding(mesh, P())) for leaf, v in leaves.items()
+        }
+    return out
+
+
 def shard_batch(x: jax.Array, mesh: Mesh) -> jax.Array:
     """Place a batched array with its leading axis on the data axis."""
     spec = P(DATA_AXIS, *([None] * (x.ndim - 1)))

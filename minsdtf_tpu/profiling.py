@@ -67,6 +67,56 @@ def trace(log_dir: str = "/tmp/minsdtf-trace"):
     print(f"profile written to {log_dir} (view with tensorboard/xprof)")
 
 
+def op_report(trace_dir: str = "/tmp/minsdtf-trace", top: int = 25, by: str = "source"):
+    """Aggregate a captured trace's device ops into a utilization table.
+
+    Parses the Chrome-trace JSON xprof writes (no TensorBoard needed — device-side
+    timestamps, immune to host contention), bucketing per-op device time by HLO
+    category or repo ``source`` line, with achieved TF/s from the recorded
+    ``model_flops``. This is the measurement of record for kernel work on this
+    platform: host-side microbenches are unusable whenever anything else runs on the
+    (single) host core (see ROADMAP "measurement pitfalls").
+    """
+    import glob
+    import gzip
+    import json
+    from collections import defaultdict
+
+    paths = glob.glob(f"{trace_dir}/plugins/profile/*/*.trace.json.gz")
+    if not paths:
+        raise FileNotFoundError(f"no trace json under {trace_dir}")
+    data = json.loads(gzip.open(sorted(paths)[-1]).read())
+    pids = {e["pid"]: e["args"].get("name", "") for e in data["traceEvents"]
+            if e.get("ph") == "M" and e.get("name") == "process_name"}
+
+    buckets = defaultdict(lambda: [0.0, 0.0, 0.0, 0])  # time s, flops, bytes, count
+    total = 0.0
+    for ev in data["traceEvents"]:
+        if ev.get("ph") != "X" or "TPU" not in pids.get(ev.get("pid"), ""):
+            continue
+        args = ev.get("args") or {}
+        dur = float(args.get("device_duration_ps", 0)) / 1e12
+        if dur <= 0 or "hlo_category" not in args:
+            continue
+        if by == "source":
+            key = f'{args.get("source", "?")} [{args.get("hlo_category", "?")}]'
+        else:
+            key = args.get("hlo_category", "?")
+        b = buckets[key]
+        b[0] += dur
+        b[1] += float(args.get("model_flops", 0))
+        b[2] += float(args.get("raw_bytes_accessed", 0))
+        b[3] += 1
+        total += dur
+    rows = sorted(buckets.items(), key=lambda kv: -kv[1][0])[:top]
+    print(f"device op time total: {total:.3f}s  ({by} buckets)")
+    for key, (t, fl, byts, n) in rows:
+        tf = fl / t / 1e12 if t else 0.0
+        gbs = byts / t / 1e9 if t else 0.0
+        print(f"  {t*1e3:9.2f} ms  {tf:6.1f} TF/s  {gbs:6.0f} GB/s  n={n:5d}  {key[:95]}")
+    return dict(rows)
+
+
 @contextlib.contextmanager
 def timed(label: str = "block", sync: Optional[jax.Array] = None):
     t0 = time.perf_counter()
