@@ -109,6 +109,16 @@ def main():
                 jax, lambda s: run(s, b=8, n=4, p=tcd_pipe), 2, (1,), [(2,), (3,)]
             )
             result_extra["tcd4_b8"] = round(float(np.median(tt)) / 8, 4)
+            # queued-dispatch serving throughput: generate_images dispatches all
+            # requests before fetching, hiding host+D2H behind device compute
+            reqs = [encoded] * 4
+            pipe.generate_images(reqs, seeds=[21, 22, 23, 24], num_steps=steps,
+                                 unconditional_guidance_scale=7.5, guidance_rescale=0.7)
+            t0 = time.perf_counter()
+            imgs = pipe.generate_images(reqs, seeds=[31, 32, 33, 34], num_steps=steps,
+                                        unconditional_guidance_scale=7.5,
+                                        guidance_rescale=0.7)
+            result_extra["pipelined"] = round((time.perf_counter() - t0) / 4, 4)
             # full prompt -> image (tokenize + LPW + CLIP + sampler) — needs the CLIP
             # BPE merges file, which cannot be downloaded in the zero-egress env;
             # emitted whenever MINSDTF_BPE points at one.

@@ -458,6 +458,7 @@ class StableDiffusion:
         callback=None,
         eta=0.3,
         return_latent=False,
+        _defer_fetch=False,
     ):
         if diffusion_noise is not None and seed is not None:
             raise ValueError(
@@ -588,18 +589,47 @@ class StableDiffusion:
                 with_progress=live_progress,
                 sp=attention_ops.sequence_parallel_key(),
             )
-            image = np.asarray(image_u8)
+            # _defer_fetch (generate_images): leave the result on device — the
+            # caller fetches later, overlapping this D2H with the next dispatch.
+            image = image_u8 if _defer_fetch else np.asarray(image_u8)
         finally:
             # Always clear the module-global callback so a failed run cannot leak
             # it into the next generate_image call.
             if live_progress:
                 sampler.set_progress_callback(None)
-        if callback is not None and not live_progress:
+        if callback is not None and not live_progress and not _defer_fetch:
             for i in range(schedule.num_steps):  # post-hoc fallback
                 callback(i + 1)
         if return_latent:
-            return image, np.asarray(latent, np.float32)
+            return image, (latent if _defer_fetch else np.asarray(latent, np.float32))
         return image
+
+    def generate_images(self, encoded_texts, seeds=None, **kwargs):
+        """Throughput-mode generation: dispatch EVERY request before fetching any
+        result, so the host work + image D2H of request i overlap device compute of
+        request i+1 (JAX async dispatch queues the programs on device).
+
+        Measured anatomy (ROADMAP r2): a single 512px generation is ~0.50 s device
+        + ~0.1 s host/transfer; queued dispatch hides the latter, so serving
+        throughput approaches pure device time. ``encoded_texts`` is a list of
+        contexts (as accepted by ``generate_image``); ``seeds`` an optional list.
+        Remaining kwargs are passed through (``callback`` is not supported here).
+        Returns a list of uint8 image batches.
+        """
+        if kwargs.get("callback") is not None:
+            raise ValueError("generate_images does not support per-step callbacks")
+        if kwargs.get("return_latent"):
+            raise ValueError("generate_images returns images only")
+        handles = [
+            self.generate_image(
+                enc,
+                seed=None if seeds is None else seeds[i],
+                _defer_fetch=True,
+                **kwargs,
+            )
+            for i, enc in enumerate(encoded_texts)
+        ]
+        return [np.asarray(h) for h in handles]
 
     # ---- small jitted helpers --------------------------------------------------------
 

@@ -32,6 +32,27 @@ def test_text_model_handles(pipe):
     np.testing.assert_allclose(ctx, pipe._unconditional_context(), rtol=1e-5, atol=1e-5)
 
 
+def test_generate_images_queued_dispatch(pipe, monkeypatch):
+    """generate_images defers fetches (dispatch all, then convert, order kept) and
+    rejects callback/return_latent. The real device path is exercised by bench.py's
+    `pipelined` field on TPU."""
+    calls = []
+
+    def fake_generate(encoded_text, seed=None, _defer_fetch=False, **kw):
+        assert _defer_fetch is True
+        calls.append(seed)
+        return np.full((1, 4, 4, 3), seed, np.uint8)
+
+    monkeypatch.setattr(pipe, "generate_image", fake_generate)
+    out = pipe.generate_images([0, 1, 2], seeds=[5, 6, 7], num_steps=2)
+    assert calls == [5, 6, 7]
+    assert [int(o[0, 0, 0, 0]) for o in out] == [5, 6, 7]
+    with pytest.raises(ValueError):
+        pipe.generate_images([0], callback=lambda i: None)
+    with pytest.raises(ValueError):
+        pipe.generate_images([0], return_latent=True)
+
+
 def test_runtime_lora_switch(pipe, tmp_path):
     """set_lora merges / removes deltas at runtime against the cached base ckpt."""
     import torch

@@ -17,6 +17,23 @@ def test_fetch_resolve_local_paths():
         fetch.fetch("https://127.0.0.1:1/none.safetensors")
 
 
+def test_golden_harness_offline_skip(tmp_path, monkeypatch, capsys):
+    """golden.py skips cleanly (rc 2) when weights are unresolvable offline."""
+    from minsdtf_tpu.tools import golden
+
+    rc = golden.run("default", "default", "default", "default", str(tmp_path))
+    assert rc == 2
+    assert "SKIP" in capsys.readouterr().out
+
+
+def test_selfcheck_skips_unsupported_shapes():
+    """Shapes the flash kernel declines route to XLA and are skipped, not compared."""
+    from minsdtf_tpu.tools import selfcheck
+
+    results = selfcheck.check_flash_attention(shapes=[(1, 256, 2, 160)], verbose=False)
+    assert results == []  # kv < 512 -> xla path, nothing to check
+
+
 def test_convert_cli(tmp_path):
     import oracle_utils
     from minsdtf_tpu.tools import convert as cli
