@@ -41,26 +41,53 @@ def flops_per_image(height, width, steps, batch, cfg=True):
 
 
 def peak_flops():
-    """Per-chip bf16 peak; v5e ~= 394 TFLOP/s."""
+    """Per-chip bf16 peak; v5e = 197 TFLOP/s (394 is its INT8 peak — r1/r2 used
+    that by mistake, halving every published vs_baseline; r3 probe measured a
+    4096^3 bf16 matmul at 194.8 TF/s device time = 99% of the corrected spec)."""
     import jax
 
     kind = jax.devices()[0].device_kind.lower()
-    table = {"v5 lite": 394e12, "v5litepod": 394e12, "v4": 275e12, "v5p": 459e12, "v6": 918e12}
+    table = {"v5 lite": 197e12, "v5litepod": 197e12, "v4": 275e12, "v5p": 459e12, "v6": 918e12}
     for key, val in table.items():
         if key in kind:
             return val
-    return 394e12
+    return 197e12
 
 
 def _time_runs(jax, fn, repeats, warm_args, timed_args):
+    """Compile on ``warm_args``, then run ``repeats + 1`` reps with DISTINCT args
+    (the axon server dedupes identical (program, args) executions) and DISCARD the
+    first: the first post-compile execution pays 3-4x executable staging (ROADMAP
+    measurement discipline). Returns the remaining ``repeats`` timings, so min/max
+    over them capture genuine tunnel jitter, not the staging rep."""
     fn(*warm_args)  # compile
     times = []
-    for i, args in enumerate(timed_args[:repeats]):
+    for args in timed_args[: repeats + 1]:
         t0 = time.perf_counter()
         out = fn(*args)
         jax.block_until_ready(out)
         times.append(time.perf_counter() - t0)
-    return times
+    return times[1:]
+
+
+def _synthetic_merges():
+    """Write a tiny CLIP-format merges file (version header + ranked merges) to a
+    temp dir, mirroring tests/test_prompt_weighting.py — lets the e2e_prompt field
+    (full tokenize -> image wall time) be measured in the zero-egress env where the
+    real 16e6 vocabulary cannot be downloaded."""
+    import gzip
+    import tempfile
+
+    merges = [
+        "h e", "l l", "he ll", "o</w> w", "hell o</w>", "w o", "wo r", "wor l",
+        "worl d</w>", "t h", "th e</w>", "a</w> b", "c a", "ca t</w>", "d o",
+        "do g</w>", "s t", "st a", "sta r</w>", "1 2", "* *",
+    ]
+    path = os.path.join(tempfile.mkdtemp(prefix="minsdtf-bench-"), "merges.txt.gz")
+    with gzip.open(path, "wt") as f:
+        f.write("#version: synthetic\n")
+        f.write("\n".join(merges) + "\n")
+    return path
 
 
 def main():
@@ -95,43 +122,55 @@ def main():
                 unconditional_guidance_scale=7.5, guidance_rescale=0.7, seed=seed,
             )
 
-        times = _time_runs(jax, run, repeats, (1,), [(i + 2,) for i in range(repeats)])
+        times = _time_runs(jax, run, repeats, (1,), [(i + 2,) for i in range(repeats + 1)])
         # headline = median (typical); min/max expose the ±5% tunnel jitter.
         elapsed = float(np.median(times))
 
         if extras:
-            # batch-8 serving throughput (same program, batched)
-            t8 = _time_runs(jax, lambda s: run(s, b=8), 2, (1,), [(2,), (3,)])
+            # batch-8 serving throughput (same program, batched); 3 kept reps
+            t8 = _time_runs(jax, lambda s: run(s, b=8), 3, (1,), [(2,), (3,), (4,), (5,)])
             result_extra["throughput_b8"] = round(float(np.median(t8)) / 8, 4)
             # TCD 4-step batch-8: the few-step distilled-serving config
             tcd_pipe = StableDiffusion(img_height=size, img_width=size, active_tcd=True)
             tt = _time_runs(
-                jax, lambda s: run(s, b=8, n=4, p=tcd_pipe), 2, (1,), [(2,), (3,)]
+                jax, lambda s: run(s, b=8, n=4, p=tcd_pipe), 3, (1,),
+                [(2,), (3,), (4,), (5,)]
             )
             result_extra["tcd4_b8"] = round(float(np.median(tt)) / 8, 4)
             # queued-dispatch serving throughput: generate_images dispatches all
-            # requests before fetching, hiding host+D2H behind device compute
+            # requests before fetching, hiding host+D2H behind device compute.
+            # (The batch-1 program is compiled AND staged by the headline runs
+            # above, so the warm run here only covers the new seeds; median of 2.)
             reqs = [encoded] * 4
-            pipe.generate_images(reqs, seeds=[21, 22, 23, 24], num_steps=steps,
-                                 unconditional_guidance_scale=7.5, guidance_rescale=0.7)
-            t0 = time.perf_counter()
-            imgs = pipe.generate_images(reqs, seeds=[31, 32, 33, 34], num_steps=steps,
-                                        unconditional_guidance_scale=7.5,
-                                        guidance_rescale=0.7)
-            result_extra["pipelined"] = round((time.perf_counter() - t0) / 4, 4)
-            # full prompt -> image (tokenize + LPW + CLIP + sampler) — needs the CLIP
-            # BPE merges file, which cannot be downloaded in the zero-egress env;
-            # emitted whenever MINSDTF_BPE points at one.
-            bpe = os.environ.get("MINSDTF_BPE")
-            if bpe and os.path.exists(bpe):
-                pipe.bpe_path = bpe
-                pipe.text_to_image("a photograph of an astronaut", num_steps=steps,
-                                   seed=1)  # compile text stack
+
+            def run_queue(s0):
+                return pipe.generate_images(
+                    reqs, seeds=[s0, s0 + 1, s0 + 2, s0 + 3], num_steps=steps,
+                    unconditional_guidance_scale=7.5, guidance_rescale=0.7)
+
+            run_queue(21)
+            tq = []
+            for s0 in (31, 41):
                 t0 = time.perf_counter()
-                img = pipe.text_to_image("a photograph of an astronaut riding a horse",
-                                         num_steps=steps, seed=9)
-                jax.block_until_ready(img)
-                result_extra["e2e_prompt"] = round(time.perf_counter() - t0, 4)
+                run_queue(s0)
+                tq.append(time.perf_counter() - t0)
+            result_extra["pipelined"] = round(float(np.median(tq)) / 4, 4)
+            # full prompt -> image wall time (tokenize + LPW + CLIP + sampler).
+            # MINSDTF_BPE selects the real CLIP merges file when present; otherwise
+            # a synthetic merges vocabulary is generated — token *timing* does not
+            # need the real vocab (same tokenize/LPW/encode path and shapes).
+            bpe = os.environ.get("MINSDTF_BPE")
+            if not (bpe and os.path.exists(bpe)):
+                bpe = _synthetic_merges()
+            pipe.bpe_path = bpe
+            pipe._tokenizer = None
+            pipe.text_to_image("a photograph of an astronaut", num_steps=steps,
+                               seed=1)  # compile text stack
+            t0 = time.perf_counter()
+            img = pipe.text_to_image("a photograph of an astronaut riding a horse",
+                                     num_steps=steps, seed=9)
+            jax.block_until_ready(img)
+            result_extra["e2e_prompt"] = round(time.perf_counter() - t0, 4)
 
     sec_per_image = elapsed / batch
     ideal = flops_per_image(size, size, steps, 1) / peak_flops()

@@ -41,7 +41,9 @@ def _pick_blocks(q_len: int, kv_len: int, head_dim: int = 128):
     single-head spatial attention, 2048px images) that alone is 8 MB at block_k 2048,
     so the scores budget must shrink accordingly or the kernel overflows the 16 MB
     scoped VMEM (hit at 65536 tokens in r2)."""
-    dpad = max(128, head_dim)
+    # Mosaic pads the lane axis to a multiple of 128 — round UP (128 < d <= 256
+    # occupies 256 lanes, not d).
+    dpad = -(-head_dim // 128) * 128
     block_k = kv_len
     if block_k > MAX_BLOCK_K:
         block_k = MAX_BLOCK_K

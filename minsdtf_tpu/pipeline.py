@@ -106,26 +106,40 @@ class StableDiffusion:
         mesh=None,
         scheduler_type: Optional[str] = None,
         sequence_parallel: bool = False,
+        weight_dtype: Optional[str] = None,
     ):
         self.img_height = int(img_height)
         self.img_width = int(img_width)
         self.clip_skip = int(clip_skip)
         self.compute_dtype = compute_dtype or _default_dtype()
         self.mesh = mesh
+        # weight_dtype="int8": W8A8 quantization of the UNet/ControlNet conv+dense
+        # kernels (weights/quantize.py) — 2x MXU peak on the serving path. The text
+        # encoder and VAE stay in compute_dtype (tiny / quality-critical shares).
+        if weight_dtype not in (None, "int8"):
+            raise ValueError(f"weight_dtype must be None or 'int8', got {weight_dtype!r}")
+        if weight_dtype == "int8" and mesh is not None:
+            raise ValueError(
+                "weight_dtype='int8' is single-device only for now (the TP sharding "
+                "rules operate on float kernels)"
+            )
+        self.weight_dtype = weight_dtype
         # Sequence parallelism: shard the self-attention token axis over the mesh's
         # `model` axis via ring attention (ops/ring_attention.py) for >=1024px
         # generation. Weights are then REPLICATED (the model axis carries tokens,
-        # not Megatron shards). Process-global, like the attention impl choice.
+        # not Megatron shards). The config is PER-INSTANCE: it is asserted into the
+        # (trace-time) process-global attention config at the top of every
+        # generation call via _apply_sp, and the sampler's jit cache is keyed on it
+        # (the `sp` static arg) — so constructing a second, non-SP pipeline in the
+        # same process no longer disables a previously built SP pipeline.
         self.sequence_parallel = bool(sequence_parallel) and mesh is not None
+        self._sp_config = None
         if self.sequence_parallel:
             from minsdtf_tpu.parallel.mesh import MODEL_AXIS
 
-            attention_ops.set_sequence_parallel(
-                mesh, MODEL_AXIS,
-                min_seq=int(os.environ.get("MINSDTF_SP_MIN_SEQ", 16384)),
+            self._sp_config = (
+                mesh, MODEL_AXIS, int(os.environ.get("MINSDTF_SP_MIN_SEQ", 16384))
             )
-        else:
-            attention_ops.set_sequence_parallel(None)
         # scheduler_type supersets the reference's active_tcd flag: None derives from
         # active_tcd; "lcm" selects the LCM consistency sampler (reference TODO
         # "Sampler", README.md:150) over the same distillation timestep grid.
@@ -163,6 +177,16 @@ class StableDiffusion:
         self._hint_jit = None
         self._uncond_cache = None
 
+    def _apply_sp(self) -> None:
+        """Point the process-global sequence-parallel attention config at THIS
+        instance. Globals are only read at trace time; the sampler's jit cache is
+        keyed on ``sequence_parallel_key()`` so traces from instances with
+        different SP configs cannot collide."""
+        if self._sp_config is None:
+            attention_ops.set_sequence_parallel(None)
+        else:
+            attention_ops.set_sequence_parallel(*self._sp_config)
+
     def set_lora(self, lora_path: Optional[str], scale: float = 1.0) -> None:
         """Switch the active LoRA at runtime (a capability the reference lacks —
         README: "Merge yes / Switch no"). Re-derives the UNet/text-encoder params
@@ -182,7 +206,7 @@ class StableDiffusion:
 
     # ---- lazy weights -----------------------------------------------------------
 
-    def _load_or_init(self, path, kind, init_fn, seed, lora=None):
+    def _load_or_init(self, path, kind, init_fn, seed, lora=None, cast=True):
         if path is not None and not os.path.exists(str(path)):
             # URL or "default": resolve through the download cache (reference
             # auto-downloads its defaults; needs network, absent in the CI sandbox).
@@ -200,7 +224,7 @@ class StableDiffusion:
         else:
             print(f"{kind}: no checkpoint given — using seeded random init (no-network env)")
             params = init_fn(jax.random.PRNGKey(seed))
-        return self._cast(params)
+        return self._cast(params) if cast else params
 
     def _cast(self, params):
         """Matmul/conv weights live in the compute dtype (bf16 in production: halves
@@ -220,12 +244,19 @@ class StableDiffusion:
     @property
     def unet_params(self):
         if self._unet_params is None:
+            # Load uncast (fp32): int8 quantization snaps from the fp32 originals,
+            # not from already-rounded bf16 kernels.
             params = self._load_or_init(
                 self.unet_ckpt, "unet", unet_lib.init_params, 0, lora=self.unet_lora,
+                cast=False,
             )
             if self.mesh is None and os.environ.get("MINSDTF_FUSE_QKV", "1") == "1":
                 params = unet_lib.fuse_attention_projections(params)
-            self._unet_params = self._shard(params)
+            if self.weight_dtype == "int8":
+                from minsdtf_tpu.weights import quantize
+
+                params = quantize.quantize_params(params)
+            self._unet_params = self._shard(self._cast(params))
         return self._unet_params
 
     @property
@@ -248,9 +279,15 @@ class StableDiffusion:
     @property
     def controlnet_params(self):
         if self._controlnet_params is None and self.controlnet_path is not None:
-            self._controlnet_params = self._shard(self._load_or_init(
+            params = self._load_or_init(
                 self.controlnet_path, "controlnet", controlnet_lib.init_params, 3,
-            ))
+                cast=False,
+            )
+            if self.weight_dtype == "int8":
+                from minsdtf_tpu.weights import quantize
+
+                params = quantize.quantize_params(params)
+            self._controlnet_params = self._shard(self._cast(params))
         return self._controlnet_params
 
     def _shard(self, params):
@@ -466,6 +503,7 @@ class StableDiffusion:
                 "`generate_image`. `seed` is only used to generate diffusion "
                 "noise when it's not already user-specified."
             )
+        self._apply_sp()
         h8, w8 = self.img_height // 8, self.img_width // 8
         dtype = self.compute_dtype
 
@@ -634,6 +672,7 @@ class StableDiffusion:
     # ---- small jitted helpers --------------------------------------------------------
 
     def _encode_image(self, image_tensor: np.ndarray):
+        self._apply_sp()  # VAE spatial attention may route through SP at >=2048px
         params = self.vae_params
 
         @jax.jit

@@ -10,6 +10,10 @@ is injected explicitly (reference ``stable_diffusion.py:354-361``) since
 keras.random and jax.random realizations differ.
 """
 
+import pytest
+
+pytestmark = pytest.mark.oracle  # heavy Keras/TF/torch oracle - excluded from the fast tier
+
 import numpy as np
 import pytest
 

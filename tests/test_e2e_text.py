@@ -3,6 +3,10 @@ TI splice -> encoder -> weighting. Uses a synthetic BPE vocabulary injected into
 tokenizers (the real merges file needs network) and one shared synthetic text-encoder
 checkpoint."""
 
+import pytest
+
+pytestmark = pytest.mark.oracle  # heavy Keras/TF/torch oracle - excluded from the fast tier
+
 import gzip
 
 import numpy as np

@@ -2,6 +2,10 @@
 (stable_diffusion.py:217-302). The oracle methods live on StableDiffusionBase but are
 pure numpy — instantiate the base class without any models."""
 
+import pytest
+
+pytestmark = pytest.mark.oracle  # heavy Keras/TF/torch oracle - excluded from the fast tier
+
 import numpy as np
 import pytest
 

@@ -1,6 +1,10 @@
 """LoRA pipeline parity: delta-W composition + kohya->diffusers key rewriting vs the
 reference loader (numpy/torch oracle), and end-to-end merge through the converter."""
 
+import pytest
+
+pytestmark = pytest.mark.oracle  # heavy Keras/TF/torch oracle - excluded from the fast tier
+
 import numpy as np
 import pytest
 

@@ -1,6 +1,10 @@
 """CLIP text stack parity: our pure-functional JAX model vs the reference Keras
 TextClipEmbedding + TextEncoder, both loading the same synthetic checkpoint."""
 
+import pytest
+
+pytestmark = pytest.mark.oracle  # heavy Keras/TF/torch oracle - excluded from the fast tier
+
 import numpy as np
 import pytest
 

@@ -2,6 +2,10 @@
 checkpoint uses the LDM control_model.* naming (the lllyasviel .pth layout the
 reference loads)."""
 
+import pytest
+
+pytestmark = pytest.mark.oracle  # heavy Keras/TF/torch oracle - excluded from the fast tier
+
 import numpy as np
 import pytest
 

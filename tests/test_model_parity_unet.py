@@ -2,6 +2,10 @@
 small spatial size (128x128 image -> 16x16 latent), same synthetic checkpoint through
 both weight pipelines. Also covers the ControlNet-residual input wiring."""
 
+import pytest
+
+pytestmark = pytest.mark.oracle  # heavy Keras/TF/torch oracle - excluded from the fast tier
+
 import numpy as np
 import pytest
 

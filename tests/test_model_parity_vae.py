@@ -4,6 +4,10 @@ The synthetic checkpoint uses the old-diffusers attention names
 (query/key/value/proj_attn) — exactly what sd-vae-ft-mse ships and what the
 reference's tables expect (ckpt_loader.py:1480-1489)."""
 
+import pytest
+
+pytestmark = pytest.mark.oracle  # heavy Keras/TF/torch oracle - excluded from the fast tier
+
 import numpy as np
 import pytest
 

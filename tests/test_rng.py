@@ -7,6 +7,10 @@ exact call the reference makes, stable_diffusion.py:555-557) runs when TF is
 importable.
 """
 
+import pytest
+
+pytestmark = pytest.mark.oracle  # heavy Keras/TF/torch oracle - excluded from the fast tier
+
 import numpy as np
 import pytest
 
