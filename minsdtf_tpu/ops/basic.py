@@ -30,38 +30,77 @@ def matmul_precision(dtype) -> Optional[jax.lax.Precision]:
     return jax.lax.Precision.HIGHEST if dtype == jnp.float32 else None
 
 
+def _quantize_acts(x: jax.Array, axes) -> Tuple[jax.Array, jax.Array]:
+    """Symmetric dynamic int8 activation quantization over ``axes``.
+
+    The scale must be constant along every axis the following contraction sums
+    (weights/quantize.py): the last axis for dense (per-token scales), all of
+    (H, W, C) for conv (per-image scales — the 3x3 window sums across pixels)."""
+    xf = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=axes, keepdims=True)
+    asc = jnp.maximum(amax, 1e-12) * (1.0 / 127.0)
+    xq = jnp.round(xf / asc).astype(jnp.int8)
+    return xq, asc
+
+
 def conv2d(x: jax.Array, p: dict, stride: int = 1, padding: Padding = 0) -> jax.Array:
     """2-D convolution, NHWC x HWIO. ``padding`` is an int (symmetric) or explicit
     ``((top,bottom),(left,right))`` — the VAE encoder needs the asymmetric
-    ``((0,1),(0,1))`` stride-2 form (reference ``image_encoder.py:31-37``)."""
+    ``((0,1),(0,1))`` stride-2 form (reference ``image_encoder.py:31-37``).
+
+    A module carrying ``kernel_q`` (weights/quantize.py) runs as a W8A8 int8 conv:
+    per-image dynamic activation scales x per-out-channel weight scales, int32
+    accumulation on the MXU's 2x int8 path, fp32 rescale in the epilogue."""
     if isinstance(padding, int):
         pad = ((padding, padding), (padding, padding))
     else:
         pad = tuple((int(a), int(b)) for a, b in padding)
-    kernel = p["kernel"].astype(x.dtype)
-    out = jax.lax.conv_general_dilated(
-        x,
-        kernel,
-        window_strides=(stride, stride),
-        padding=pad,
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32,
-        precision=matmul_precision(x.dtype),
-    ).astype(x.dtype)
+    if "kernel_q" in p:
+        xq, asc = _quantize_acts(x, axes=(1, 2, 3))
+        out = jax.lax.conv_general_dilated(
+            xq,
+            p["kernel_q"],
+            window_strides=(stride, stride),
+            padding=pad,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.int32,
+        )
+        out = (out.astype(jnp.float32) * (asc * p["kernel_scale"])).astype(x.dtype)
+    else:
+        kernel = p["kernel"].astype(x.dtype)
+        out = jax.lax.conv_general_dilated(
+            x,
+            kernel,
+            window_strides=(stride, stride),
+            padding=pad,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32,
+            precision=matmul_precision(x.dtype),
+        ).astype(x.dtype)
     if "bias" in p:
         out = out + p["bias"].astype(x.dtype)
     return out
 
 
 def dense(x: jax.Array, p: dict) -> jax.Array:
-    """Affine map over the last axis; kernel is (in, out)."""
-    out = jnp.dot(
-        x,
-        p["kernel"].astype(x.dtype),
-        preferred_element_type=jnp.float32,
-        precision=matmul_precision(x.dtype),
-    )
-    out = out.astype(x.dtype)
+    """Affine map over the last axis; kernel is (in, out).
+
+    ``kernel_q`` modules run W8A8: per-token (last-axis) dynamic activation
+    scales, int8 MXU matmul with int32 accumulation, fp32 rescale."""
+    if "kernel_q" in p:
+        xq, asc = _quantize_acts(x, axes=-1)
+        y = jax.lax.dot_general(
+            xq, p["kernel_q"], (((x.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        out = (y.astype(jnp.float32) * (asc * p["kernel_scale"])).astype(x.dtype)
+    else:
+        out = jnp.dot(
+            x,
+            p["kernel"].astype(x.dtype),
+            preferred_element_type=jnp.float32,
+            precision=matmul_precision(x.dtype),
+        ).astype(x.dtype)
     if "bias" in p:
         out = out + p["bias"].astype(x.dtype)
     return out

@@ -1,0 +1,97 @@
+"""Post-training int8 weight quantization (W8A8) for conv/dense kernels.
+
+Why: r2 profiling (ROADMAP) showed the UNet's convs and dense matmuls running AT
+the measured-achievable bf16 MXU ceiling (~138-167 TF/s) — the remaining headroom
+on this workload is arithmetic, not scheduling. The TPU MXU's int8 path doubles
+peak throughput; quantizing the conv/dense weights to int8 with per-output-channel
+scales and dynamically quantizing activations (per-token for dense, per-image for
+conv — the scale must be constant over every axis the contraction sums) keeps the
+matmuls on the 2x ceiling while the fp32 rescale fuses into the epilogue.
+
+This has no reference analog (the reference computes fp32 Keras throughout,
+``stable_diffusion.py:442-479``); it is a TPU-native serving optimization, opt-in
+via ``StableDiffusion(weight_dtype="int8")`` and quality-gated by
+``tools/selfcheck.py``/``tools/golden.py --audit``.
+
+Scheme:
+  - symmetric, per-output-channel: ``scale_o = max|W[..., o]| / 127``,
+    ``Wq = round(W / scale)`` (int8);
+  - module dicts keep their names; the ``kernel`` leaf is replaced by
+    ``kernel_q`` (int8) + ``kernel_scale`` (float32, per out-channel); ``bias``
+    (and norm leaves) are untouched. :mod:`minsdtf_tpu.ops.basic` dispatches on
+    the presence of ``kernel_q``.
+  - modules whose contraction depth is tiny (< ``min_k``; e.g. the 4-channel
+    ``conv_in``) or whose output is quality-critical (``conv_out``) stay in the
+    compute dtype: no MXU gain, disproportionate quality risk.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+# Modules never quantized: the 4->320 entry conv (K=36), the 320->4 exit conv
+# (the latent epsilon itself), and the time embedding MLP (tiny, runs once per
+# step at batch B — negligible FLOPs, feeds every ResBlock).
+DEFAULT_SKIP_SUFFIXES = (
+    "conv_in",
+    "conv_out",
+    "time_embedding.linear_1",
+    "time_embedding.linear_2",
+    # the fused subpixel upsample-conv (ops/basic.upsample2x_conv3x3) SUMS kernel
+    # taps at trace time — it needs the float kernel
+    "upsamplers.0.conv",
+)
+# Below this contraction depth (K = prod of kernel input dims) the MXU is not the
+# bottleneck and int8 only adds quantization error.
+DEFAULT_MIN_K = 256
+
+
+def quantize_kernel(kernel) -> tuple:
+    """(int8 values, float32 per-out-channel scales). Kernel layouts: dense
+    (in, out) or conv HWIO — the output channel is the LAST axis in both."""
+    w = np.asarray(kernel, np.float32)
+    reduce_axes = tuple(range(w.ndim - 1))
+    amax = np.max(np.abs(w), axis=reduce_axes)
+    scale = np.maximum(amax, 1e-12) / 127.0
+    q = np.clip(np.round(w / scale), -127, 127).astype(np.int8)
+    return q, scale.astype(np.float32)
+
+
+def should_quantize(name: str, leaves: dict, skip_suffixes: Iterable[str],
+                    min_k: int) -> bool:
+    if "kernel" not in leaves:
+        return False
+    if any(name.endswith(suf) for suf in skip_suffixes):
+        return False
+    shape = np.asarray(leaves["kernel"]).shape
+    if len(shape) not in (2, 4):
+        return False
+    k = int(np.prod(shape[:-1]))
+    return k >= min_k
+
+
+def quantize_params(
+    params: dict,
+    skip_suffixes: Iterable[str] = DEFAULT_SKIP_SUFFIXES,
+    min_k: int = DEFAULT_MIN_K,
+) -> dict:
+    """Quantize every eligible conv/dense module of a flat param dict."""
+    out = {}
+    for name, leaves in params.items():
+        if should_quantize(name, leaves, skip_suffixes, min_k):
+            q, scale = quantize_kernel(leaves["kernel"])
+            new = {k: v for k, v in leaves.items() if k != "kernel"}
+            new["kernel_q"] = jnp.asarray(q)
+            new["kernel_scale"] = jnp.asarray(scale)
+            out[name] = new
+        else:
+            out[name] = leaves
+    return out
+
+
+def dequantize_kernel(leaves: dict) -> np.ndarray:
+    """Reconstruct the float kernel (tests / debugging)."""
+    return np.asarray(leaves["kernel_q"], np.float32) * np.asarray(leaves["kernel_scale"])
