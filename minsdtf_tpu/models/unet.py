@@ -29,7 +29,11 @@ from typing import Optional, Sequence, Tuple
 import jax
 import jax.numpy as jnp
 
-from minsdtf_tpu.ops.attention import multi_head_attention
+from minsdtf_tpu.ops.attention import (
+    constrain_spatial,
+    constrain_tokens,
+    multi_head_attention,
+)
 from minsdtf_tpu.ops.basic import (
     conv2d,
     dense,
@@ -57,7 +61,10 @@ def resblock(params: dict, prefix: str, x: jax.Array, temb: jax.Array) -> jax.Ar
     h = conv2d(h, p("conv2"), padding=1)
     if f"{prefix}.conv_shortcut" in params:
         x = conv2d(x, p("conv_shortcut"))
-    return h + x
+    # sequence-parallel anchor (no-op unless SP is active at this resolution):
+    # keeps the residual stream H-sharded so GSPMD partitions the convs/norms
+    # spatially instead of replicating them (ops/attention.constrain_spatial)
+    return constrain_spatial(h + x)
 
 
 def cross_attention(params: dict, prefix: str, x: jax.Array, context: jax.Array) -> jax.Array:
@@ -99,10 +106,10 @@ def spatial_transformer(params: dict, prefix: str, x: jax.Array, context: jax.Ar
     b, h, w, c = x.shape
     z = group_norm(x, p("norm"))
     z = conv2d(z, p("proj_in"))
-    z = z.reshape(b, h * w, c)
+    z = constrain_tokens(z.reshape(b, h * w, c))  # SP: tokens stay sharded end-to-end
     z = transformer_block(params, f"{prefix}.transformer_blocks.0", z, context)
-    z = z.reshape(b, h, w, c)
-    return conv2d(z, p("proj_out")) + x
+    z = constrain_tokens(z).reshape(b, h, w, c)
+    return constrain_spatial(conv2d(z, p("proj_out")) + x)
 
 
 def time_embedding(params: dict, t_emb_320: jax.Array) -> jax.Array:
@@ -124,14 +131,16 @@ def apply(
 
     # ---- down path; `skips` mirrors the reference's `outputs` list --------------
     skips = []
-    x = conv2d(latent, params["conv_in"], padding=1)
+    x = constrain_spatial(conv2d(latent, params["conv_in"], padding=1))
     skips.append(x)
     for level in range(3):
         for j in range(2):
             x = resblock(params, f"down_blocks.{level}.resnets.{j}", x, temb)
             x = spatial_transformer(params, f"down_blocks.{level}.attentions.{j}", x, context)
             skips.append(x)
-        x = conv2d(x, params[f"down_blocks.{level}.downsamplers.0.conv"], stride=2, padding=1)
+        x = constrain_spatial(
+            conv2d(x, params[f"down_blocks.{level}.downsamplers.0.conv"], stride=2, padding=1)
+        )
         skips.append(x)
     x = resblock(params, "down_blocks.3.resnets.0", x, temb)
     skips.append(x)
@@ -153,7 +162,7 @@ def apply(
     for j in range(3):
         x = jnp.concatenate([x, skips.pop()], axis=-1)
         x = resblock(params, f"up_blocks.0.resnets.{j}", x, temb)
-    x = upsample2x_conv3x3(x, params["up_blocks.0.upsamplers.0.conv"])
+    x = constrain_spatial(upsample2x_conv3x3(x, params["up_blocks.0.upsamplers.0.conv"]))
     # up_blocks.1..3: [concat, ResBlock, SpatialTransformer] x3 (+ upsampler on 1,2)
     for level in (1, 2, 3):
         for j in range(3):
@@ -161,7 +170,9 @@ def apply(
             x = resblock(params, f"up_blocks.{level}.resnets.{j}", x, temb)
             x = spatial_transformer(params, f"up_blocks.{level}.attentions.{j}", x, context)
         if level < 3:
-            x = upsample2x_conv3x3(x, params[f"up_blocks.{level}.upsamplers.0.conv"])
+            x = constrain_spatial(
+                upsample2x_conv3x3(x, params[f"up_blocks.{level}.upsamplers.0.conv"])
+            )
     assert not skips
 
     # ---- exit ------------------------------------------------------------------------

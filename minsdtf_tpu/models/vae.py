@@ -21,7 +21,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from minsdtf_tpu.ops.attention import single_head_spatial_attention
+from minsdtf_tpu.ops.attention import constrain_spatial, single_head_spatial_attention
 from minsdtf_tpu.ops.basic import (
     conv2d,
     dense,
@@ -43,7 +43,9 @@ def vae_resblock(params: dict, prefix: str, x: jax.Array) -> jax.Array:
     h = conv2d(h, p("conv2"), padding=1)
     if f"{prefix}.conv_shortcut" in params:
         x = conv2d(x, p("conv_shortcut"))
-    return h + x
+    # sequence-parallel anchor (no-op unless SP active at this resolution) — at
+    # >=2048px decode, keeps the conv/norm stack spatially partitioned
+    return constrain_spatial(h + x)
 
 
 def vae_attention(params: dict, prefix: str, x: jax.Array) -> jax.Array:
@@ -97,7 +99,9 @@ def decode(params: dict, latent: jax.Array) -> jax.Array:
         if level < 3:
             # fused nearest-2x + conv: the 2x-res intermediate never hits HBM —
             # these three pairs dominate decode traffic (decode measured 9% util r1)
-            x = upsample2x_conv3x3(x, params[f"decoder.up_blocks.{level}.upsamplers.0.conv"])
+            x = constrain_spatial(
+                upsample2x_conv3x3(x, params[f"decoder.up_blocks.{level}.upsamplers.0.conv"])
+            )
     x = group_norm_silu(x, params["decoder.conv_norm_out"])
     return conv2d(x, params["decoder.conv_out"], padding=1)
 

@@ -54,6 +54,52 @@ def sequence_parallel_key():
     return (axis_name, min_seq, tuple(mesh.shape.items()))
 
 
+def _sp_shardable(tokens: int):
+    """(mesh, axis_name, n) when SP is active and a `tokens`-long axis should be
+    sharded over it; None otherwise."""
+    if _SP is None:
+        return None
+    mesh, axis_name, min_seq = _SP
+    n = int(mesh.shape[axis_name])
+    if n <= 1 or tokens < min_seq or tokens % n != 0:
+        return None
+    return mesh, axis_name, n
+
+
+def constrain_spatial(x: jax.Array) -> jax.Array:
+    """Sequence-parallel GSPMD anchor for (B, H, W, C) activations: pin the H axis
+    to the SP mesh axis when the spatial token count is SP-eligible.
+
+    This is what turns "ring attention with replicated everything-else" (r2) into
+    end-to-end sequence parallelism: with the conv/norm activations pinned H-sharded,
+    GSPMD runs 3x3 convs spatially partitioned (automatic halo exchanges), GroupNorm
+    statistics via psum, and the elementwise/FF work token-parallel — and the ring
+    shard_map boundary becomes a no-op reshard instead of a per-attention
+    all-gather. No-op when SP is off or the shape is too small/indivisible."""
+    cfg = _sp_shardable(x.shape[1] * x.shape[2]) if x.ndim == 4 else None
+    if cfg is None or x.shape[1] % cfg[2] != 0:
+        return x
+    mesh, axis_name, _ = cfg
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    return jax.lax.with_sharding_constraint(
+        x, NamedSharding(mesh, P(None, axis_name, None, None))
+    )
+
+
+def constrain_tokens(x: jax.Array) -> jax.Array:
+    """Same anchor for (B, S, C) token-major activations (transformer block)."""
+    cfg = _sp_shardable(x.shape[1]) if x.ndim == 3 else None
+    if cfg is None:
+        return x
+    mesh, axis_name, _ = cfg
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    return jax.lax.with_sharding_constraint(
+        x, NamedSharding(mesh, P(None, axis_name, None))
+    )
+
+
 def _pick_impl(q_len: int, kv_len: int, head_dim: int, causal: bool) -> str:
     if _IMPL != "auto":
         return _IMPL
