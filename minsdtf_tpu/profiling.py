@@ -19,14 +19,18 @@ import jax
 UNET_GFLOP_512 = 340.0
 DECODE_GFLOP_512 = 1200.0
 
+# bf16 per-chip peaks. NOTE: v5e is 197 TF/s bf16 (394 is its int8 peak; r1/r2
+# used 394 here by mistake — corrected r3 after a 4096^3 bf16 matmul measured
+# 194.8 TF/s device time = 99% of the true spec).
 PEAK_BF16 = {
     "v4": 275e12,
-    "v5 lite": 394e12,
-    "v5litepod": 394e12,
-    "v5e": 394e12,
+    "v5 lite": 197e12,
+    "v5litepod": 197e12,
+    "v5e": 197e12,
     "v5p": 459e12,
     "v6": 918e12,
 }
+PEAK_INT8 = {"v5 lite": 394e12, "v5litepod": 394e12, "v5e": 394e12}
 
 
 def chip_peak_flops(device=None) -> float:

@@ -1,0 +1,242 @@
+"""Batching HTTP serving daemon over the queued-dispatch pipeline.
+
+The reference's only "serving" is a single-user Streamlit/Gradio loop
+(``app.py:57-92``) — one synchronous generation at a time, host round-trips
+between every step. This daemon is the capability it never had: a request queue
+feeding the TPU through ``_defer_fetch`` dispatch so the host prep + image D2H of
+request *i* overlap device compute of request *i+1* (the mechanism measured in
+ROADMAP r2: 0.523 s/img pipelined vs 0.593 sequential on one chip).
+
+Design (one chip = one worker; stdlib only — no server frameworks in this env):
+
+  - ``ThreadingHTTPServer`` accepts requests and puts them on a ``queue.Queue``;
+    each handler blocks on its own ``Future``-like response slot.
+  - a single worker thread pulls requests, dispatches ``generate_image(...,
+    _defer_fetch=True)`` (device arrays stay on device), and keeps a depth-
+    ``pipeline_depth`` deque of in-flight handles; fetching request *i*'s image
+    happens while *i+1* computes.
+  - requests carry either a ``prompt`` (tokenized through the pipeline's BPE) or a
+    precomputed ``context`` (base64 fp32 — lets zero-vocab environments serve).
+
+Endpoints:
+  POST /generate  {"prompt": str | "context": b64, "negative_prompt"?, "steps"?,
+                   "seed"?, "guidance_scale"?, "guidance_rescale"?}
+                  -> {"image": base64 PNG (or raw npy if PIL absent), "shape": ...}
+  GET  /healthz   -> {"ok": true, "queue_depth": n}
+  GET  /stats     -> {"served": n, "avg_s_per_img": ...}
+
+Run: ``python -m minsdtf_tpu.tools.serve --port 8000 [--bpe PATH] [--int8]``.
+"""
+
+from __future__ import annotations
+
+import base64
+import io
+import json
+import queue
+import threading
+import time
+from collections import deque
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional
+
+import numpy as np
+
+
+class _Request:
+    __slots__ = ("payload", "event", "result", "error", "t_enqueue")
+
+    def __init__(self, payload: dict):
+        self.payload = payload
+        self.event = threading.Event()
+        self.result = None
+        self.error: Optional[str] = None
+        self.t_enqueue = time.perf_counter()
+
+
+class BatchingWorker:
+    """Pulls requests off a queue, keeps ``pipeline_depth`` generations in flight.
+
+    ``pipe`` needs the ``generate_image``/``encode_text`` surface of
+    :class:`minsdtf_tpu.pipeline.StableDiffusion`; tests inject a fake."""
+
+    def __init__(self, pipe, pipeline_depth: int = 2, max_queue: int = 64):
+        self.pipe = pipe
+        self.depth = max(1, int(pipeline_depth))
+        self.requests: "queue.Queue[_Request]" = queue.Queue(maxsize=max_queue)
+        self.inflight: deque = deque()
+        self.served = 0
+        self.total_latency = 0.0
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._run, daemon=True)
+
+    def start(self):
+        self._thread.start()
+        return self
+
+    def stop(self):
+        self._stop.set()
+        self._thread.join(timeout=30)
+
+    def submit(self, payload: dict, timeout: float = 300.0):
+        req = _Request(payload)
+        self.requests.put(req, timeout=5.0)
+        if not req.event.wait(timeout):
+            raise TimeoutError("generation timed out")
+        if req.error:
+            raise RuntimeError(req.error)
+        return req.result
+
+    # ---- worker internals --------------------------------------------------------
+
+    def _dispatch(self, req: _Request):
+        p = req.payload
+        if "context" in p:
+            ctx = np.frombuffer(
+                base64.b64decode(p["context"]), dtype=np.float32
+            ).reshape(p.get("context_shape", (77, 768)))
+        else:
+            ctx = self.pipe.encode_text(p["prompt"])
+        handle = self.pipe.generate_image(
+            ctx,
+            negative_prompt=p.get("negative_prompt"),
+            num_steps=int(p.get("steps", 25)),
+            unconditional_guidance_scale=float(p.get("guidance_scale", 7.5)),
+            guidance_rescale=float(p.get("guidance_rescale", 0.7)),
+            seed=p.get("seed"),
+            _defer_fetch=True,
+        )
+        return handle
+
+    def _finish(self, req: _Request, handle):
+        try:
+            req.result = np.asarray(handle)  # D2H — overlaps the next dispatch
+            self.served += 1
+            self.total_latency += time.perf_counter() - req.t_enqueue
+        except Exception as e:  # pragma: no cover - device failure path
+            req.error = f"{type(e).__name__}: {e}"
+        finally:
+            req.event.set()
+
+    def _run(self):
+        while not self._stop.is_set():
+            try:
+                req = self.requests.get(timeout=0.1)
+            except queue.Empty:
+                # drain in-flight work while idle
+                while self.inflight:
+                    self._finish(*self.inflight.popleft())
+                continue
+            try:
+                handle = self._dispatch(req)
+            except Exception as e:
+                req.error = f"{type(e).__name__}: {e}"
+                req.event.set()
+                continue
+            self.inflight.append((req, handle))
+            while len(self.inflight) >= self.depth:
+                self._finish(*self.inflight.popleft())
+        while self.inflight:
+            self._finish(*self.inflight.popleft())
+
+
+def _encode_image(arr: np.ndarray) -> dict:
+    """PNG via PIL when available, else raw .npy bytes — both base64."""
+    arr = np.asarray(arr)
+    if arr.ndim == 4 and arr.shape[0] == 1:
+        arr = arr[0]
+    try:
+        from PIL import Image
+
+        buf = io.BytesIO()
+        Image.fromarray(arr).save(buf, format="PNG")
+        return {"image": base64.b64encode(buf.getvalue()).decode(), "format": "png",
+                "shape": list(arr.shape)}
+    except Exception:
+        buf = io.BytesIO()
+        np.save(buf, arr)
+        return {"image": base64.b64encode(buf.getvalue()).decode(), "format": "npy",
+                "shape": list(arr.shape)}
+
+
+def make_handler(worker: BatchingWorker):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # quiet
+            pass
+
+        def _reply(self, code: int, obj: dict):
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._reply(200, {"ok": True, "queue_depth": worker.requests.qsize()})
+            elif self.path == "/stats":
+                avg = worker.total_latency / worker.served if worker.served else None
+                self._reply(200, {"served": worker.served, "avg_latency_s": avg})
+            else:
+                self._reply(404, {"error": "not found"})
+
+        def do_POST(self):
+            if self.path != "/generate":
+                self._reply(404, {"error": "not found"})
+                return
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                payload = json.loads(self.rfile.read(n) or b"{}")
+                if "prompt" not in payload and "context" not in payload:
+                    self._reply(400, {"error": "need `prompt` or `context`"})
+                    return
+                img = worker.submit(payload)
+                self._reply(200, _encode_image(img))
+            except Exception as e:
+                self._reply(500, {"error": f"{type(e).__name__}: {e}"})
+
+    return Handler
+
+
+def serve(pipe, host: str = "127.0.0.1", port: int = 8000, pipeline_depth: int = 2):
+    """Start worker + HTTP server; returns (server, worker) — caller loops."""
+    worker = BatchingWorker(pipe, pipeline_depth=pipeline_depth).start()
+    server = ThreadingHTTPServer((host, port), make_handler(worker))
+    return server, worker
+
+
+def main(argv=None):
+    import argparse
+
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--port", type=int, default=8000)
+    ap.add_argument("--size", type=int, default=512)
+    ap.add_argument("--depth", type=int, default=2)
+    ap.add_argument("--bpe", default=None, help="CLIP merges file (for `prompt` requests)")
+    ap.add_argument("--int8", action="store_true", help="serve with W8A8 weights")
+    ap.add_argument("--unet", default=None)
+    ap.add_argument("--text-encoder", default=None)
+    ap.add_argument("--vae", default=None)
+    args = ap.parse_args(argv)
+
+    from minsdtf_tpu.pipeline import StableDiffusion
+
+    pipe = StableDiffusion(
+        img_height=args.size, img_width=args.size, bpe_path=args.bpe,
+        unet_ckpt=args.unet, text_encoder_ckpt=args.text_encoder, vae_ckpt=args.vae,
+        weight_dtype="int8" if args.int8 else None,
+    )
+    server, worker = serve(pipe, args.host, args.port, args.depth)
+    print(f"serving on http://{args.host}:{args.port} (depth {worker.depth})")
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        worker.stop()
+
+
+if __name__ == "__main__":
+    main()
