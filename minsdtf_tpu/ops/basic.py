@@ -15,12 +15,16 @@ fp32 in parity tests) with fp32 accumulation; normalization statistics are alway
 
 from __future__ import annotations
 
+import os
 from typing import Optional, Tuple, Union
 
 import jax
 import jax.numpy as jnp
 
 Padding = Union[int, Tuple[Tuple[int, int], Tuple[int, int]]]
+
+# Layout guard for W8A8 convs (see conv2d); env knob for A/B measurement.
+_INT8_BARRIER = os.environ.get("MINSDTF_INT8_BARRIER", "1") == "1"
 
 
 def matmul_precision(dtype) -> Optional[jax.lax.Precision]:
@@ -65,6 +69,15 @@ def conv2d(x: jax.Array, p: dict, stride: int = 1, padding: Padding = 0) -> jax.
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
             preferred_element_type=jnp.int32,
         )
+        if _INT8_BARRIER:
+            # In the full UNet graph, XLA layout assignment back-propagates a
+            # batch-in-sublane layout ({3,0,2,1:T(2,128)}) from downstream
+            # reductions onto the s32 conv output, dropping the int8 conv emitter
+            # from ~280 to ~20 TF/s (ROADMAP r3, experiments/int8_layout_repro.py).
+            # A barrier pins the conv's native output layout; isolated A/B shows
+            # the barriered conv is FASTER (330 vs 270 TF/s) despite the extra
+            # materialization.
+            out = jax.lax.optimization_barrier(out)
         out = (out.astype(jnp.float32) * (asc * p["kernel_scale"])).astype(x.dtype)
     else:
         kernel = p["kernel"].astype(x.dtype)

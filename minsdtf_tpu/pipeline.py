@@ -176,6 +176,9 @@ class StableDiffusion:
         self._text_encode_jit = None
         self._hint_jit = None
         self._uncond_cache = None
+        self._uncond_dev = None
+        self._sched_cache = {}
+        self._scalar_cache = {}
 
     def _apply_sp(self) -> None:
         """Point the process-global sequence-parallel attention config at THIS
@@ -203,6 +206,7 @@ class StableDiffusion:
         self._unet_params = None
         self._text_params = None
         self._uncond_cache = None
+        self._uncond_dev = None
 
     # ---- lazy weights -----------------------------------------------------------
 
@@ -378,6 +382,54 @@ class StableDiffusion:
             self._uncond_cache = np.asarray(encode_fn(embed_fn(tokens)))
         return self._uncond_cache
 
+    def _unconditional_context_dev(self):
+        """Device-resident (1, 77, 768) unconditional context — transferred once,
+        reused every call (it crossed the tunnel per generate_image before)."""
+        if getattr(self, "_uncond_dev", None) is None:
+            self._uncond_dev = jnp.asarray(self._unconditional_context(), jnp.float32)
+        return self._uncond_dev
+
+    def _device_schedule(self, num_steps, strength, eta):
+        """Per-instance cache of (schedule, t_embs, rows) with the arrays already
+        on device: the schedule depends only on (num_steps, strength, eta) for a
+        given scheduler, but was rebuilt and re-transferred (12 small H2D copies,
+        each paying the tunnel's per-transfer latency) on EVERY generate_image."""
+        cache = getattr(self, "_sched_cache", None)
+        if cache is None:
+            cache = self._sched_cache = {}
+        key = (num_steps, None if strength is None else round(float(strength), 6),
+               round(float(eta), 6))
+        hit = cache.get(key)
+        if hit is None:
+            schedule = sched_lib.build_denoise_schedule(
+                self.scheduler, num_steps, strength=strength, eta=eta
+            )
+            t_embs = jnp.asarray(
+                sched_lib.timestep_embedding(schedule.timesteps), jnp.float32
+            )
+            rows = {
+                k: jnp.asarray(getattr(schedule, k), jnp.float32)
+                for k in ("sr_t", "nr_t", "sr_prev", "nr_prev", "sr_s", "nr_s",
+                          "c_denoised", "c_noise", "c_skip", "c_out", "is_last")
+            }
+            if len(cache) >= 16:
+                cache.pop(next(iter(cache)))
+            hit = cache[key] = (schedule, t_embs, rows)
+        return hit
+
+    def _scalar(self, value):
+        """Value-keyed cache of traced f32 scalars (guidance scale/rescale) — each
+        distinct value is one tunnel H2D, ever, instead of two per call."""
+        cache = getattr(self, "_scalar_cache", None)
+        if cache is None:
+            cache = self._scalar_cache = {}
+        key = float(value)
+        if key not in cache:
+            if len(cache) >= 32:
+                cache.pop(next(iter(cache)))
+            cache[key] = jnp.float32(key)
+        return cache[key]
+
     # ---- public generation methods --------------------------------------------------
 
     def text_to_image(
@@ -507,27 +559,27 @@ class StableDiffusion:
         h8, w8 = self.img_height // 8, self.img_width // 8
         dtype = self.compute_dtype
 
-        context = self._expand(np.asarray(encoded_text, np.float32), batch_size)
+        context = self._as_context(encoded_text, batch_size)
         use_cfg = unconditional_guidance_scale > 0.0
         uncond_context = None
         if use_cfg:
             if negative_prompt is None and negative_embedding is None:
-                uncond_context = np.repeat(self._unconditional_context(), batch_size, axis=0)
+                uncond_context = self._unconditional_context_dev()
             else:
-                uncond_context = self._expand(
+                uncond_context = self._as_context(
                     self.encode_text(negative_prompt or "", negative_embedding), batch_size
                 )
 
         # ---- noise & init latent ------------------------------------------------
         if seed is None and diffusion_noise is None:
             seed = int(np.random.randint(0, 2**31 - 1))
-        # `key` seeds TCD's per-step stochastic noise. When the caller supplies
-        # diffusion_noise (seed must be None), draw a fresh seed so repeated runs get
-        # fresh TCD noise — matching the reference's per-step np.random.randn
-        # (scheduler.py:301) rather than replaying one fixed stream.
-        key = jax.random.PRNGKey(
-            seed if seed is not None else int(np.random.randint(0, 2**31 - 1))
-        )
+        # `key_seed` seeds TCD's/LCM's per-step stochastic noise. When the caller
+        # supplies diffusion_noise (seed must be None), draw a fresh seed so repeated
+        # runs get fresh TCD noise — matching the reference's per-step
+        # np.random.randn (scheduler.py:301) rather than replaying one fixed stream.
+        # The device PRNGKey itself is built lazily below: it costs two tunnel
+        # dispatches and only the stochastic branches consume it.
+        key_seed = seed if seed is not None else int(np.random.randint(0, 2**31 - 1))
         if diffusion_noise is not None:
             noise = np.squeeze(np.asarray(diffusion_noise, np.float32))
             if noise.ndim == 3:
@@ -561,10 +613,7 @@ class StableDiffusion:
             )
             strength = float(reference_image_strength)
 
-        schedule = sched_lib.build_denoise_schedule(
-            self.scheduler, num_steps, strength=strength, eta=eta
-        )
-        t_embs = sched_lib.timestep_embedding(schedule.timesteps)
+        schedule, t_embs, rows = self._device_schedule(num_steps, strength, eta)
 
         if use_img2img:
             t0 = schedule.init_timestep
@@ -586,12 +635,12 @@ class StableDiffusion:
             hint = self._hint(cn_img.astype(np.float32))
             use_controls = True
 
-        rows = {
-            k: getattr(schedule, k)
-            for k in ("sr_t", "nr_t", "sr_prev", "nr_prev", "sr_s", "nr_s",
-                      "c_denoised", "c_noise", "c_skip", "c_out", "is_last")
-        }
         is_lcm = schedule.mode == "lcm"
+        stochastic = schedule.active_tcd and not is_lcm and eta > 0.0
+        noise_key = (
+            jax.random.fold_in(jax.random.PRNGKey(key_seed), 1)
+            if (is_lcm or stochastic) else None
+        )
         inpaint_active = use_inpaint and init_latent is not None
         live_progress = callback is not None and _host_callbacks_supported()
         if live_progress:
@@ -603,14 +652,14 @@ class StableDiffusion:
                 jnp.asarray(latent0, dtype),
                 jnp.asarray(context, jnp.float32),
                 jnp.asarray(uncond_context, jnp.float32) if use_cfg else None,
-                jnp.asarray(t_embs, jnp.float32),
+                t_embs,
                 rows,
-                jnp.float32(unconditional_guidance_scale),
-                jnp.float32(guidance_rescale),
-                noise_key=jax.random.fold_in(key, 1),
+                self._scalar(unconditional_guidance_scale),
+                self._scalar(guidance_rescale),
+                noise_key=noise_key,
                 controlnet_params=self.controlnet_params if use_controls else None,
                 hint=hint,
-                init_latent=jnp.asarray(np.repeat(init_latent, batch_size, axis=0), jnp.float32)
+                init_latent=jnp.asarray(init_latent, jnp.float32)
                 if inpaint_active else None,
                 latent_mask=jnp.asarray(latent_mask, jnp.float32) if inpaint_active else None,
                 blend_noise=jnp.asarray(noise, jnp.float32) if inpaint_active else None,
@@ -620,7 +669,7 @@ class StableDiffusion:
                 if (use_inpaint and image01 is not None) else None,
                 use_cfg=use_cfg,
                 active_tcd=schedule.active_tcd and not is_lcm,
-                stochastic=schedule.active_tcd and not is_lcm and eta > 0.0,
+                stochastic=stochastic,
                 lcm=is_lcm,
                 use_controls=use_controls,
                 use_inpaint=inpaint_active,
@@ -692,6 +741,17 @@ class StableDiffusion:
         if text_embedding.ndim == 2:
             text_embedding = np.repeat(text_embedding[None], batch_size, axis=0)
         return text_embedding
+
+    @staticmethod
+    def _as_context(text_embedding, batch_size: int) -> np.ndarray:
+        """Shape a context for the sampler WITHOUT host-side batch tiling: a single
+        prompt stays (1, S, 768) and is broadcast to the latent batch inside the
+        jit (sampler.generate), so only 236 KB crosses the tunnel however large
+        the batch. Per-image prompt lists pass through as (B, S, 768)."""
+        emb = np.squeeze(np.asarray(text_embedding, np.float32))
+        if emb.ndim == 2:
+            return emb[None]
+        return emb
 
     # ---- reference-compatible sub-model attributes --------------------------------
     # The reference exposes each sub-model as a Keras Model with predict_on_batch

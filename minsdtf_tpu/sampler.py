@@ -107,14 +107,25 @@ def generate(
     n_steps = t_embs.shape[0]
     batch = latent0.shape[0]
 
+    # Contexts may arrive with a leading dim of 1 and are broadcast to the latent
+    # batch INSIDE the jit — the pipeline transfers only the (1, S, 768) array and
+    # the broadcast fuses for free on device (saves (B-1) x 236 KB of tunnel H2D
+    # per call plus the host-side np.repeat).
+    def _to_batch(c):
+        if c.shape[0] == 1 and batch > 1:
+            return jnp.broadcast_to(c, (batch,) + c.shape[1:])
+        return c
+
     # The CFG pair is batched into one UNet call when cond/uncond context lengths
     # match (the common case). LPW can legitimately produce different lengths
     # (77 vs 154/231/308) — then fall back to two sequential calls, still inside the
     # same jit (the reference always does two calls, :454-457).
     cfg_batched = use_cfg and uncond_context.shape[1] == context.shape[1]
-    context = context.astype(compute_dtype)
+    context = _to_batch(context.astype(compute_dtype))
     if use_cfg:
-        uncond_context = uncond_context.astype(compute_dtype)
+        uncond_context = _to_batch(uncond_context.astype(compute_dtype))
+    if init_latent is not None:
+        init_latent = _to_batch(init_latent)
     if use_controls:
         hint = hint.astype(compute_dtype)
     if cfg_batched:
