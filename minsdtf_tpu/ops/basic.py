@@ -24,7 +24,9 @@ import jax.numpy as jnp
 Padding = Union[int, Tuple[Tuple[int, int], Tuple[int, int]]]
 
 # Layout guard for W8A8 convs (see conv2d); env knob for A/B measurement.
-_INT8_BARRIER = os.environ.get("MINSDTF_INT8_BARRIER", "1") == "1"
+_INT8_BARRIER = os.environ.get("MINSDTF_INT8_BARRIER", "0") == "1"
+# Manual space-to-batch row-block count for W8A8 convs (0 = direct conv).
+_INT8_BLOCKS = int(os.environ.get("MINSDTF_INT8_BLOCKS", "16"))
 
 
 def matmul_precision(dtype) -> Optional[jax.lax.Precision]:
@@ -47,6 +49,44 @@ def _quantize_acts(x: jax.Array, axes) -> Tuple[jax.Array, jax.Array]:
     return xq, asc
 
 
+def _blocked_conv_int8(xq: jax.Array, kq: jax.Array, stride: int, pad, nb: int) -> jax.Array:
+    """Manual space-to-batch for int8 convs: fold ``nb`` overlapping row blocks
+    (halo = kh-1 rows) into the batch dim before convolving.
+
+    XLA's own space-to-batch pass is what makes the bf16 convs fast at batch 2
+    (sublane fill), but it skips EVERY int8 conv in any graph that also contains a
+    Pallas custom call — the flash-attention calls in the UNet — leaving a
+    batch-in-sublane layout that runs at ~20-37 TOPS instead of ~280-330
+    (experiments/int8_trigger2.py variants Q/Q5-Q7: manual 16-block folding
+    restores 326 TF/s with the custom call present). Bit-exact vs the direct conv
+    (int32 accumulation of the same products)."""
+    b, h, w, c = xq.shape
+    kh = kq.shape[0]
+    (pt, pb), wpad = pad
+    hout = (h + pt + pb - kh) // stride + 1
+    while nb > 1 and hout % nb:
+        nb //= 2
+    if nb <= 1:
+        return jax.lax.conv_general_dilated(
+            xq, kq, (stride, stride), pad,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.int32,
+        )
+    r = hout // nb
+    hb = stride * (r - 1) + kh
+    xp = jnp.pad(xq, ((0, 0), (pt, pb), (0, 0), (0, 0)))
+    xb = jnp.stack(
+        [jax.lax.slice_in_dim(xp, i * stride * r, i * stride * r + hb, axis=1)
+         for i in range(nb)], axis=1,
+    ).reshape(b * nb, hb, w, c)
+    y = jax.lax.conv_general_dilated(
+        xb, kq, (stride, stride), ((0, 0), wpad),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32,
+    )
+    return y.reshape(b, nb * r, y.shape[2], y.shape[3])
+
+
 def conv2d(x: jax.Array, p: dict, stride: int = 1, padding: Padding = 0) -> jax.Array:
     """2-D convolution, NHWC x HWIO. ``padding`` is an int (symmetric) or explicit
     ``((top,bottom),(left,right))`` — the VAE encoder needs the asymmetric
@@ -61,22 +101,21 @@ def conv2d(x: jax.Array, p: dict, stride: int = 1, padding: Padding = 0) -> jax.
         pad = tuple((int(a), int(b)) for a, b in padding)
     if "kernel_q" in p:
         xq, asc = _quantize_acts(x, axes=(1, 2, 3))
-        out = jax.lax.conv_general_dilated(
-            xq,
-            p["kernel_q"],
-            window_strides=(stride, stride),
-            padding=pad,
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=jnp.int32,
-        )
+        if _INT8_BLOCKS > 1:
+            out = _blocked_conv_int8(xq, p["kernel_q"], stride, pad, _INT8_BLOCKS)
+        else:
+            out = jax.lax.conv_general_dilated(
+                xq,
+                p["kernel_q"],
+                window_strides=(stride, stride),
+                padding=pad,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=jnp.int32,
+            )
         if _INT8_BARRIER:
-            # In the full UNet graph, XLA layout assignment back-propagates a
-            # batch-in-sublane layout ({3,0,2,1:T(2,128)}) from downstream
-            # reductions onto the s32 conv output, dropping the int8 conv emitter
-            # from ~280 to ~20 TF/s (ROADMAP r3, experiments/int8_layout_repro.py).
-            # A barrier pins the conv's native output layout; isolated A/B shows
-            # the barriered conv is FASTER (330 vs 270 TF/s) despite the extra
-            # materialization.
+            # Earlier layout-guard experiment: pins the conv's native output
+            # layout. Superseded by the manual space-to-batch above (measured
+            # no-change e2e on its own); kept as an A/B knob.
             out = jax.lax.optimization_barrier(out)
         out = (out.astype(jnp.float32) * (asc * p["kernel_scale"])).astype(x.dtype)
     else:

@@ -80,6 +80,34 @@ def test_int8_conv_close_to_fp32():
     assert _rel_err(got, want) < 0.02
 
 
+@pytest.mark.parametrize(
+    "shape,stride,pad",
+    [
+        ((2, 32, 32, 32), 1, ((1, 1), (1, 1))),      # ResBlock 3x3 (divisible)
+        ((2, 30, 30, 32), 1, ((1, 1), (1, 1))),      # hout=30 -> nb halves to 2
+        ((2, 31, 31, 32), 1, ((1, 1), (1, 1))),      # odd hout -> falls back direct
+        ((2, 32, 32, 32), 2, ((1, 1), (1, 1))),      # UNet stride-2 downsample
+        ((2, 32, 32, 32), 2, ((0, 1), (0, 1))),      # VAE asymmetric stride-2
+    ],
+)
+def test_blocked_int8_conv_bit_exact(shape, stride, pad):
+    """The manual space-to-batch int8 conv (ops/basic._blocked_conv_int8) must be
+    BIT-exact vs the direct int8 conv: both accumulate the same int8 products in
+    int32. (The blocked form exists because XLA's space-to-batch pass skips int8
+    convs in graphs containing Pallas custom calls — ROADMAP r3.)"""
+    rs = np.random.RandomState(7)
+    xq = jnp.asarray(rs.randint(-127, 128, shape), jnp.int8)
+    kq = jnp.asarray(rs.randint(-127, 128, (3, 3, shape[-1], 48)), jnp.int8)
+    direct = jax.lax.conv_general_dilated(
+        xq, kq, (stride, stride), pad,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32,
+    )
+    blocked = basic._blocked_conv_int8(xq, kq, stride, pad, nb=16)
+    assert blocked.shape == direct.shape
+    assert np.array_equal(np.asarray(blocked), np.asarray(direct))
+
+
 def test_int8_unet_end_to_end_error():
     """Whole scaled-down UNet, quantized vs fp32: a SANITY bound, not a quality
     gate. ~30 sequential quantized ops at ~1.5% relative each compound to ~8-9%
