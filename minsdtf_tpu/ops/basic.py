@@ -27,6 +27,9 @@ Padding = Union[int, Tuple[Tuple[int, int], Tuple[int, int]]]
 _INT8_BARRIER = os.environ.get("MINSDTF_INT8_BARRIER", "0") == "1"
 # Manual space-to-batch row-block count for W8A8 convs (0 = direct conv).
 _INT8_BLOCKS = int(os.environ.get("MINSDTF_INT8_BLOCKS", "16"))
+# Experimental: manual space-to-batch for FLOAT convs too (0 = off = XLA's own
+# space-to-batch pass, which does fire for float convs; e2e A/B knob).
+_FLOAT_BLOCKS = int(os.environ.get("MINSDTF_FLOAT_BLOCKS", "0"))
 
 
 def matmul_precision(dtype) -> Optional[jax.lax.Precision]:
@@ -36,22 +39,51 @@ def matmul_precision(dtype) -> Optional[jax.lax.Precision]:
     return jax.lax.Precision.HIGHEST if dtype == jnp.float32 else None
 
 
-def _quantize_acts(x: jax.Array, axes) -> Tuple[jax.Array, jax.Array]:
-    """Symmetric dynamic int8 activation quantization over ``axes``.
+# Calibration tape (weights/calibrate.py): when active, _quantize_acts records the
+# per-site activation amax — module NAMES during an eval_shape pass (params closed
+# over, so dict identity maps to flat-dict names), VALUES (scalar tracers returned
+# through the instrumented jit) during the measuring pass.
+_CALIB_TAPE: Optional[dict] = None
 
-    The scale must be constant along every axis the following contraction sums
-    (weights/quantize.py): the last axis for dense (per-token scales), all of
-    (H, W, C) for conv (per-image scales — the 3x3 window sums across pixels)."""
+
+def set_calibration_tape(tape: Optional[dict]) -> None:
+    global _CALIB_TAPE
+    _CALIB_TAPE = tape
+
+
+def _quantize_acts(x: jax.Array, p: dict, axes) -> Tuple[jax.Array, jax.Array]:
+    """Symmetric int8 activation quantization over ``axes``.
+
+    Dynamic mode computes the scale from the live amax over ``axes`` — constant
+    along every axis the following contraction sums (weights/quantize.py): the
+    last axis for dense (per-token scales), all of (H, W, C) for conv (per-image
+    scales — the 3x3 window sums across pixels).
+
+    When the module carries a calibrated ``act_scale`` (weights/calibrate.py) the
+    amax pass disappears: quantization is a single clipped round that fuses into
+    the producer (the dynamic amax reduce alone measured 54 ms/gen of the int8
+    e2e device time — r3 trace bucket `convert_reduce_fusion`)."""
     xf = x.astype(jnp.float32)
+    if _CALIB_TAPE is not None:
+        amax_scalar = jnp.max(jnp.abs(xf))
+        if "names" in _CALIB_TAPE:
+            _CALIB_TAPE["names"].append(_CALIB_TAPE["id_to_name"].get(id(p)))
+        if "values" in _CALIB_TAPE:
+            _CALIB_TAPE["values"].append(amax_scalar)
+    if "act_scale" in p:
+        asc = p["act_scale"].astype(jnp.float32)
+        xq = jnp.clip(jnp.round(xf * (1.0 / asc)), -127, 127).astype(jnp.int8)
+        return xq, asc
     amax = jnp.max(jnp.abs(xf), axis=axes, keepdims=True)
     asc = jnp.maximum(amax, 1e-12) * (1.0 / 127.0)
     xq = jnp.round(xf / asc).astype(jnp.int8)
     return xq, asc
 
 
-def _blocked_conv_int8(xq: jax.Array, kq: jax.Array, stride: int, pad, nb: int) -> jax.Array:
-    """Manual space-to-batch for int8 convs: fold ``nb`` overlapping row blocks
-    (halo = kh-1 rows) into the batch dim before convolving.
+def _blocked_conv(xq: jax.Array, kq: jax.Array, stride: int, pad, nb: int,
+                  preferred=jnp.int32, precision=None) -> jax.Array:
+    """Manual space-to-batch: fold ``nb`` overlapping row blocks (halo = kh-1
+    rows) into the batch dim before convolving.
 
     XLA's own space-to-batch pass is what makes the bf16 convs fast at batch 2
     (sublane fill), but it skips EVERY int8 conv in any graph that also contains a
@@ -59,7 +91,8 @@ def _blocked_conv_int8(xq: jax.Array, kq: jax.Array, stride: int, pad, nb: int) 
     batch-in-sublane layout that runs at ~20-37 TOPS instead of ~280-330
     (experiments/int8_trigger2.py variants Q/Q5-Q7: manual 16-block folding
     restores 326 TF/s with the custom call present). Bit-exact vs the direct conv
-    (int32 accumulation of the same products)."""
+    (identical accumulation of the same products); dtype-generic so float convs
+    can A/B the same folding (MINSDTF_FLOAT_BLOCKS)."""
     b, h, w, c = xq.shape
     kh = kq.shape[0]
     (pt, pb), wpad = pad
@@ -70,7 +103,7 @@ def _blocked_conv_int8(xq: jax.Array, kq: jax.Array, stride: int, pad, nb: int) 
         return jax.lax.conv_general_dilated(
             xq, kq, (stride, stride), pad,
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=jnp.int32,
+            preferred_element_type=preferred, precision=precision,
         )
     r = hout // nb
     hb = stride * (r - 1) + kh
@@ -82,7 +115,7 @@ def _blocked_conv_int8(xq: jax.Array, kq: jax.Array, stride: int, pad, nb: int) 
     y = jax.lax.conv_general_dilated(
         xb, kq, (stride, stride), ((0, 0), wpad),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.int32,
+        preferred_element_type=preferred, precision=precision,
     )
     return y.reshape(b, nb * r, y.shape[2], y.shape[3])
 
@@ -100,9 +133,9 @@ def conv2d(x: jax.Array, p: dict, stride: int = 1, padding: Padding = 0) -> jax.
     else:
         pad = tuple((int(a), int(b)) for a, b in padding)
     if "kernel_q" in p:
-        xq, asc = _quantize_acts(x, axes=(1, 2, 3))
+        xq, asc = _quantize_acts(x, p, axes=(1, 2, 3))
         if _INT8_BLOCKS > 1:
-            out = _blocked_conv_int8(xq, p["kernel_q"], stride, pad, _INT8_BLOCKS)
+            out = _blocked_conv(xq, p["kernel_q"], stride, pad, _INT8_BLOCKS)
         else:
             out = jax.lax.conv_general_dilated(
                 xq,
@@ -120,15 +153,21 @@ def conv2d(x: jax.Array, p: dict, stride: int = 1, padding: Padding = 0) -> jax.
         out = (out.astype(jnp.float32) * (asc * p["kernel_scale"])).astype(x.dtype)
     else:
         kernel = p["kernel"].astype(x.dtype)
-        out = jax.lax.conv_general_dilated(
-            x,
-            kernel,
-            window_strides=(stride, stride),
-            padding=pad,
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=jnp.float32,
-            precision=matmul_precision(x.dtype),
-        ).astype(x.dtype)
+        if _FLOAT_BLOCKS > 1:
+            out = _blocked_conv(
+                x, kernel, stride, pad, _FLOAT_BLOCKS,
+                preferred=jnp.float32, precision=matmul_precision(x.dtype),
+            ).astype(x.dtype)
+        else:
+            out = jax.lax.conv_general_dilated(
+                x,
+                kernel,
+                window_strides=(stride, stride),
+                padding=pad,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=jnp.float32,
+                precision=matmul_precision(x.dtype),
+            ).astype(x.dtype)
     if "bias" in p:
         out = out + p["bias"].astype(x.dtype)
     return out
@@ -140,7 +179,7 @@ def dense(x: jax.Array, p: dict) -> jax.Array:
     ``kernel_q`` modules run W8A8: per-token (last-axis) dynamic activation
     scales, int8 MXU matmul with int32 accumulation, fp32 rescale."""
     if "kernel_q" in p:
-        xq, asc = _quantize_acts(x, axes=-1)
+        xq, asc = _quantize_acts(x, p, axes=-1)
         y = jax.lax.dot_general(
             xq, p["kernel_q"], (((x.ndim - 1,), (0,)), ((), ())),
             preferred_element_type=jnp.int32,

@@ -26,6 +26,7 @@ resize to (h//8, w//8).
 
 from __future__ import annotations
 
+import hashlib
 import os
 from typing import List, Optional, Union
 
@@ -46,6 +47,10 @@ from minsdtf_tpu.weights import convert, lora as lora_lib, textual_inversion
 MAX_PROMPT_LENGTH = 77
 PAD_TOKEN_ID = 49407
 BOS_TOKEN_ID = 49406
+
+# Pure-txt2img initial noise is drawn inside the sampler jit (same TF-Philox
+# stream as rng.stateless_normal; see generate_image). Knob for A/B + fallback.
+_DEVICE_NOISE = os.environ.get("MINSDTF_DEVICE_NOISE", "1") == "1"
 
 # Persistent compilation cache: the sampler program is large (whole denoise loop);
 # caching makes process restarts start in seconds instead of minutes.
@@ -107,6 +112,7 @@ class StableDiffusion:
         scheduler_type: Optional[str] = None,
         sequence_parallel: bool = False,
         weight_dtype: Optional[str] = None,
+        int8_act_scales=None,
     ):
         self.img_height = int(img_height)
         self.img_width = int(img_width)
@@ -124,6 +130,13 @@ class StableDiffusion:
                 "rules operate on float kernels)"
             )
         self.weight_dtype = weight_dtype
+        # Calibrated static activation scales for the int8 path: a {site: amax}
+        # dict or an .npz path from weights/calibrate.py. None = dynamic scales.
+        if isinstance(int8_act_scales, str):
+            from minsdtf_tpu.weights import calibrate as _cal
+
+            int8_act_scales = _cal.load_scales(int8_act_scales)
+        self._int8_act_scales = int8_act_scales
         # Sequence parallelism: shard the self-attention token axis over the mesh's
         # `model` axis via ring attention (ops/ring_attention.py) for >=1024px
         # generation. Weights are then REPLICATED (the model axis carries tokens,
@@ -260,6 +273,10 @@ class StableDiffusion:
                 from minsdtf_tpu.weights import quantize
 
                 params = quantize.quantize_params(params)
+                if self._int8_act_scales:
+                    from minsdtf_tpu.weights import calibrate as _cal
+
+                    params = _cal.bake_act_scales(params, self._int8_act_scales)
             self._unet_params = self._shard(self._cast(params))
         return self._unet_params
 
@@ -415,6 +432,24 @@ class StableDiffusion:
             if len(cache) >= 16:
                 cache.pop(next(iter(cache)))
             hit = cache[key] = (schedule, t_embs, rows)
+        return hit
+
+    def _context_dev(self, context: np.ndarray):
+        """Content-keyed device cache for text contexts: repeated prompts (every
+        bench rep, every CFG-batched serving request with a popular prompt) skip
+        the 236 KB H2D and its ~27 ms fixed tunnel latency. md5 of the bytes is
+        ~0.3 ms — content hashing is safe against callers mutating arrays in
+        place, where an id() key would serve stale embeddings."""
+        arr = np.ascontiguousarray(context, np.float32)
+        key = (arr.shape, hashlib.md5(arr.tobytes()).hexdigest())
+        cache = getattr(self, "_ctx_dev_cache", None)
+        if cache is None:
+            cache = self._ctx_dev_cache = {}
+        hit = cache.get(key)
+        if hit is None:
+            if len(cache) >= 8:
+                cache.pop(next(iter(cache)))
+            hit = cache[key] = jnp.asarray(arr)
         return hit
 
     def _scalar(self, value):
@@ -580,11 +615,25 @@ class StableDiffusion:
         # The device PRNGKey itself is built lazily below: it costs two tunnel
         # dispatches and only the stochastic branches consume it.
         key_seed = seed if seed is not None else int(np.random.randint(0, 2**31 - 1))
+        use_img2img = reference_image is not None and (0.0 < reference_image_strength < 1.0)
+        use_inpaint = inpaint_mask is not None
+        # Pure txt2img draws the initial noise INSIDE the sampler jit from the
+        # 16-byte Philox (key, counter) — same TF-Philox stream as the host path,
+        # same seed semantics, but the 65 KB noise H2D (a ~27 ms fixed-latency
+        # tunnel transfer, experiments/tunnel_xfer.py) disappears. img2img/inpaint
+        # combine the noise with host-side latents, so they keep the host generator.
+        device_noise = (
+            _DEVICE_NOISE and diffusion_noise is None
+            and not use_img2img and not use_inpaint
+        )
+        philox_kc = noise = None
         if diffusion_noise is not None:
             noise = np.squeeze(np.asarray(diffusion_noise, np.float32))
             if noise.ndim == 3:
                 noise = np.repeat(noise[None], batch_size, axis=0)
             noise = jnp.asarray(noise, jnp.float32)
+        elif device_noise:
+            philox_kc = jnp.asarray(rng_lib.philox_key_counter(seed))
         else:
             # TF-Philox-compatible host generator: the SAME integer seed yields the
             # SAME initial noise as the reference's keras.random.normal(seed)
@@ -598,8 +647,6 @@ class StableDiffusion:
         strength = None
         init_latent = None
         image01 = pixel_mask = latent_mask = None
-        use_img2img = reference_image is not None and (0.0 < reference_image_strength < 1.0)
-        use_inpaint = inpaint_mask is not None
         if use_inpaint:
             pixel_mask, latent_mask = imaging.preprocess_mask(
                 inpaint_mask, self.img_height, self.img_width, mask_blur_strength
@@ -649,14 +696,17 @@ class StableDiffusion:
             image_u8, latent = sampler.generate(
                 self.unet_params,
                 self.vae_params,
-                jnp.asarray(latent0, dtype),
-                jnp.asarray(context, jnp.float32),
+                None if device_noise else jnp.asarray(latent0, dtype),
+                self._context_dev(context),
                 jnp.asarray(uncond_context, jnp.float32) if use_cfg else None,
                 t_embs,
                 rows,
                 self._scalar(unconditional_guidance_scale),
                 self._scalar(guidance_rescale),
                 noise_key=noise_key,
+                philox_kc=philox_kc,
+                latent_shape=(batch_size, h8, w8, 4) if device_noise else None,
+                latent_dtype=jnp.dtype(dtype).name if device_noise else None,
                 controlnet_params=self.controlnet_params if use_controls else None,
                 hint=hint,
                 init_latent=jnp.asarray(init_latent, jnp.float32)
@@ -690,6 +740,70 @@ class StableDiffusion:
         if return_latent:
             return image, (latent if _defer_fetch else np.asarray(latent, np.float32))
         return image
+
+    def calibrate_int8(
+        self,
+        encoded_text=None,
+        num_steps: int = 25,
+        seeds=(0, 1),
+        unconditional_guidance_scale: float = 7.5,
+        guidance_rescale: float = 0.7,
+        margin: float = 1.05,
+        include_dense: bool = False,
+        save_path: Optional[str] = None,
+    ):
+        """Calibrate static int8 activation scales on real denoising trajectories
+        and bake them into the live UNet params (weights/calibrate.py).
+
+        Replaces the per-call dynamic amax reduces (~54 ms/gen of int8 device
+        time) with fused clipped rounds. Returns the {site: amax} dict; pass it
+        (or ``save_path``) to ``StableDiffusion(int8_act_scales=...)`` to skip
+        recalibration in later processes. Triggers one sampler recompile (the
+        quantization graph changes)."""
+        if self.weight_dtype != "int8":
+            raise ValueError("calibrate_int8 requires weight_dtype='int8'")
+        from minsdtf_tpu.weights import calibrate as _cal
+
+        h8, w8 = self.img_height // 8, self.img_width // 8
+        uncond = self._as_context(self._unconditional_context(), 1)
+        context = (
+            self._as_context(encoded_text, 1) if encoded_text is not None else uncond
+        )
+        schedule = sched_lib.build_denoise_schedule(self.scheduler, num_steps, eta=0.3)
+        t_embs = sched_lib.timestep_embedding(schedule.timesteps)
+        rows = {
+            k: np.asarray(getattr(schedule, k), np.float32)
+            for k in ("sr_t", "nr_t", "sr_prev", "nr_prev", "is_last")
+        }
+        amax: dict = {}
+        for seed in seeds:
+            latent0 = rng_lib.stateless_normal((1, h8, w8, 4), seed).astype(np.float32)
+            got = _cal.collect_unet_amax(
+                self.unet_params,
+                jnp.asarray(latent0, self.compute_dtype),
+                context,
+                uncond,
+                t_embs,
+                rows,
+                guidance_scale=unconditional_guidance_scale,
+                guidance_rescale=guidance_rescale,
+            )
+            for k, v in got.items():
+                cur = amax.get(k)
+                if cur is None:
+                    amax[k] = dict(v)
+                else:
+                    # fold min/max across seeds so the stability ratio covers
+                    # the union of all calibration trajectories
+                    amin = min(cur["amax"] / cur["ratio"], v["amax"] / v["ratio"])
+                    cur["amax"] = max(cur["amax"], v["amax"])
+                    cur["ratio"] = cur["amax"] / max(amin, 1e-9)
+        self._unet_params = _cal.bake_act_scales(
+            self.unet_params, amax, margin=margin, include_dense=include_dense
+        )
+        if save_path:
+            _cal.save_scales(save_path, amax)
+        return amax
 
     def generate_images(self, encoded_texts, seeds=None, **kwargs):
         """Throughput-mode generation: dispatch EVERY request before fetching any

@@ -110,3 +110,84 @@ def stateless_normal(shape: Sequence[int], seed: int) -> np.ndarray:
     f2, f3 = _box_muller(bits[:, 2], bits[:, 3])
     out = np.stack([f0, f1, f2, f3], axis=1).reshape(-1)[:n]
     return out.reshape(tuple(shape))
+
+
+# ---- device-side variant (inside the sampler jit) -----------------------------------
+#
+# The host generator above is bit-exact but its 65 KB output crosses the tunnel as a
+# program argument on EVERY generate_image call, paying the ~27 ms fixed H2D latency
+# (experiments/tunnel_xfer.py). The device variant moves the Philox stream + Box-Muller
+# into the jitted program: the only per-seed traffic is the 16-byte (key, counter)
+# derivation below. The integer stream is bit-identical to the numpy one (tested in
+# tests/test_rng.py); the floats differ by libm ULPs only.
+
+
+def philox_key_counter(seed: int) -> np.ndarray:
+    """Host-side seed scramble (one 4-lane Philox run — microseconds): returns the
+    uint32[4] ``(key0, key1, counter2, counter3)`` consumed by
+    :func:`device_stateless_normal`. Applies the same keras int32 floormod as
+    :func:`stateless_normal` so the two paths accept identical seeds."""
+    seed = int(seed) % (2**31 - 2)
+    key, c = key_counter_from_seed(seed)
+    return np.array([key[0], key[1], c[2], c[3]], np.uint32)
+
+
+def _jnp_mul_hilo(a, m: int):
+    """(hi, lo) of the 32x64 product ``a * m`` on uint32 lanes (TPU has no u64):
+    16-bit limb decomposition with explicit carry."""
+    import jax.numpy as jnp
+
+    a = a.astype(jnp.uint32)
+    al = a & jnp.uint32(0xFFFF)
+    ah = a >> jnp.uint32(16)
+    bl = jnp.uint32(m & 0xFFFF)
+    bh = jnp.uint32(m >> 16)
+    ll = al * bl
+    lh = al * bh
+    hl = ah * bl
+    hh = ah * bh
+    lo = a * jnp.uint32(m)  # wrapping u32 multiply = low word
+    carry = ((ll >> jnp.uint32(16)) + (lh & jnp.uint32(0xFFFF))
+             + (hl & jnp.uint32(0xFFFF))) >> jnp.uint32(16)
+    hi = hh + (lh >> jnp.uint32(16)) + (hl >> jnp.uint32(16)) + carry
+    return hi, lo
+
+
+def device_stateless_normal(kc, shape):
+    """jnp standard-normal matching :func:`stateless_normal` (same Philox bits; sin/
+    cos/log at device-libm ULPs). ``kc`` is :func:`philox_key_counter`'s uint32[4]
+    as a traced array; ``shape`` is static. Traceable under jit."""
+    import jax
+    import jax.numpy as jnp
+
+    n = int(np.prod(shape))
+    ng = (n + 3) // 4
+    assert ng < 2**32
+    c0 = jnp.arange(ng, dtype=jnp.uint32)
+    c1 = jnp.zeros(ng, jnp.uint32)
+    c2 = jnp.broadcast_to(kc[2], (ng,))
+    c3 = jnp.broadcast_to(kc[3], (ng,))
+    c = [c0, c1, c2, c3]
+    k0, k1 = kc[0], kc[1]
+    for r in range(10):
+        hi0, lo0 = _jnp_mul_hilo(c[0], 0xD2511F53)
+        hi1, lo1 = _jnp_mul_hilo(c[2], 0xCD9E8D57)
+        c = [hi1 ^ c[1] ^ k0, lo1, hi0 ^ c[3] ^ k1, lo0]
+        if r < 9:
+            k0 = k0 + jnp.uint32(0x9E3779B9)
+            k1 = k1 + jnp.uint32(0xBB67AE85)
+
+    def u32f(x):
+        bits = (x & jnp.uint32(0x7FFFFF)) | jnp.uint32(0x3F800000)
+        return jax.lax.bitcast_convert_type(bits, jnp.float32) - jnp.float32(1.0)
+
+    def box_muller(x0, x1):
+        u1 = jnp.maximum(u32f(x0), jnp.float32(1.0e-7))
+        v1 = jnp.float32(2.0 * np.pi) * u32f(x1)
+        u2 = jnp.sqrt(jnp.float32(-2.0) * jnp.log(u1))
+        return u2 * jnp.sin(v1), u2 * jnp.cos(v1)
+
+    f0, f1 = box_muller(c[0], c[1])
+    f2, f3 = box_muller(c[2], c[3])
+    out = jnp.stack([f0, f1, f2, f3], axis=1).reshape(-1)[:n]
+    return out.reshape(tuple(shape))

@@ -27,6 +27,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
+from minsdtf_tpu import rng as rng_lib
 from minsdtf_tpu.models import controlnet as controlnet_lib
 from minsdtf_tpu.models import unet as unet_lib
 from minsdtf_tpu.models import vae as vae_lib
@@ -65,14 +66,15 @@ def rescale_noise_cfg(noise_cfg, noise_pred_text, guidance_rescale, epsilon=1e-5
     jax.jit,
     static_argnames=(
         "use_cfg", "active_tcd", "stochastic", "use_controls", "use_inpaint", "decode",
-        "with_progress", "lcm", "sp",
+        "with_progress", "lcm", "sp", "latent_shape", "latent_dtype",
     ),
     donate_argnames=("latent0",),
 )
 def generate(
     unet_params,
     decoder_params,
-    latent0: jax.Array,            # (B, h, w, 4) initial (noised) latent
+    latent0: Optional[jax.Array],  # (B, h, w, 4) initial (noised) latent, or None
+                                   # when philox_kc drives in-jit noise generation
     context: jax.Array,            # (B, S, 768) conditional text context
     uncond_context: Optional[jax.Array],   # (B, S, 768) when use_cfg
     t_embs: jax.Array,             # (n, 320) host-precomputed timestep embeddings
@@ -80,6 +82,7 @@ def generate(
     guidance_scale: jax.Array,     # traced scalar
     guidance_rescale: jax.Array,   # traced scalar
     noise_key: Optional[jax.Array] = None,        # PRNG key for TCD stochastic noise
+    philox_kc: Optional[jax.Array] = None,        # uint32[4] (rng.philox_key_counter)
     controlnet_params=None,
     hint: Optional[jax.Array] = None,             # (B, h, w, 320) HintNet output
     init_latent: Optional[jax.Array] = None,      # (B, h, w, 4) for inpaint re-noise
@@ -100,10 +103,20 @@ def generate(
     # (ops.attention.sequence_parallel_key()). Not read in the body — it exists so
     # traces with different SP settings cannot collide in the jit cache.
     sp=None,
+    # in-jit initial noise (pure txt2img): shape/dtype of the latent to draw with
+    # the TF-Philox stream seeded by philox_kc. Replaces the 65 KB latent0 H2D
+    # (~27 ms fixed tunnel latency per transfer, experiments/tunnel_xfer.py) with
+    # a 16-byte key — same bits as rng.stateless_normal, same seed semantics.
+    latent_shape=None,
+    latent_dtype=None,
 ):
     """Run the full denoise(+decode) program. Returns ``(image_uint8, latent)`` when
     ``decode`` else ``(None, latent)``."""
-    compute_dtype = latent0.dtype
+    if latent0 is None:
+        compute_dtype = jnp.dtype(latent_dtype)
+        latent0 = rng_lib.device_stateless_normal(philox_kc, latent_shape).astype(compute_dtype)
+    else:
+        compute_dtype = latent0.dtype
     n_steps = t_embs.shape[0]
     batch = latent0.shape[0]
 

@@ -91,7 +91,7 @@ def test_int8_conv_close_to_fp32():
     ],
 )
 def test_blocked_int8_conv_bit_exact(shape, stride, pad):
-    """The manual space-to-batch int8 conv (ops/basic._blocked_conv_int8) must be
+    """The manual space-to-batch int8 conv (ops/basic._blocked_conv) must be
     BIT-exact vs the direct int8 conv: both accumulate the same int8 products in
     int32. (The blocked form exists because XLA's space-to-batch pass skips int8
     convs in graphs containing Pallas custom calls — ROADMAP r3.)"""
@@ -103,7 +103,7 @@ def test_blocked_int8_conv_bit_exact(shape, stride, pad):
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         preferred_element_type=jnp.int32,
     )
-    blocked = basic._blocked_conv_int8(xq, kq, stride, pad, nb=16)
+    blocked = basic._blocked_conv(xq, kq, stride, pad, nb=16)
     assert blocked.shape == direct.shape
     assert np.array_equal(np.asarray(blocked), np.asarray(direct))
 
@@ -125,6 +125,68 @@ def test_int8_unet_end_to_end_error():
     got = jax.jit(unet_lib.apply)(qparams, latent, t_emb, ctx)
     err = _rel_err(got, want)
     assert err < 0.15, err
+
+
+def test_calibrated_static_scales_match_dynamic():
+    """weights/calibrate.py: the name pass must resolve every quantized site, and
+    baking the collected trajectory amax as static scales must reproduce the
+    dynamic-quant output closely on the calibration inputs (no clipping there by
+    construction; only the margin-scaled rounding grid differs)."""
+    from minsdtf_tpu import scheduler as sched_lib
+    from minsdtf_tpu.weights import calibrate, quantize
+
+    widths = (32, 64, 128, 128)
+    params = unet_lib.init_params(jax.random.PRNGKey(3), widths=widths)
+    qparams = quantize.quantize_params(params, min_k=64)
+
+    rs = np.random.RandomState(5)
+    latent0 = rs.normal(0, 1, (1, 8, 8, 4)).astype(np.float32)
+    context = rs.normal(0, 1, (1, 77, 768)).astype(np.float32)
+    uncond = rs.normal(0, 1, (1, 77, 768)).astype(np.float32)
+    schedule = sched_lib.build_denoise_schedule(sched_lib.Scheduler(), 3, eta=0.3)
+    t_embs = sched_lib.timestep_embedding(schedule.timesteps, dim=widths[0])
+    rows = {k: np.asarray(getattr(schedule, k), np.float32)
+            for k in ("sr_t", "nr_t", "sr_prev", "nr_prev", "is_last")}
+
+    amax = calibrate.collect_unet_amax(
+        qparams, jnp.asarray(latent0), context, uncond, t_embs, rows)
+    q_sites = {n for n, l in qparams.items() if "kernel_q" in l}
+    assert set(amax) == q_sites
+    assert all(v["amax"] > 0 and v["ratio"] >= 1.0 for v in amax.values())
+
+    conv_only = calibrate.bake_act_scales(qparams, amax)  # production defaults
+    dense_site = "mid_block.attentions.0.transformer_blocks.0.attn1.to_q"
+    assert "act_scale" not in conv_only[dense_site]       # dense: per-token dynamic
+    assert "act_scale" in conv_only["mid_block.resnets.0.conv1"]  # GN-fed: stable
+    # conv_shortcut reads the UN-normalized residual stream — its amax swings
+    # 4-6x across steps, so the stability gate keeps it dynamic
+    assert amax["up_blocks.3.resnets.2.conv_shortcut"]["ratio"] > 1.5
+    assert "act_scale" not in conv_only["up_blocks.3.resnets.2.conv_shortcut"]
+
+    # Quality criterion: error vs FP32 (comparing the two int8 variants against
+    # each other is meaningless — independent rounding noise compounds to ~11%
+    # over 30 sequential ops even with identical scales). Stability-gated static
+    # conv scales must cost at most a modest factor over fully-dynamic; baking
+    # EVERYTHING (gates off) shows the error the gates exist to avoid.
+    baked_all = calibrate.bake_act_scales(
+        qparams, amax, include_dense=True, stability_threshold=np.inf)
+    te = np.broadcast_to(t_embs[0][None], (1, t_embs.shape[1])).astype(np.float32)
+    fp32 = jax.jit(unet_lib.apply)(params, latent0, te, context)
+    err_dyn = _rel_err(jax.jit(unet_lib.apply)(qparams, latent0, te, context), fp32)
+    err_conv = _rel_err(jax.jit(unet_lib.apply)(conv_only, latent0, te, context), fp32)
+    err_all = _rel_err(jax.jit(unet_lib.apply)(baked_all, latent0, te, context), fp32)
+    assert err_conv < max(1.5 * err_dyn, err_dyn + 0.02), (err_conv, err_dyn)
+    assert err_all < 0.30, err_all
+
+    # save/load round-trips the (amax, ratio) schema
+    import tempfile
+
+    path = tempfile.mktemp(suffix=".npz")
+    calibrate.save_scales(path, amax)
+    loaded = calibrate.load_scales(path)
+    assert set(loaded) == q_sites
+    k0 = next(iter(q_sites))
+    assert abs(loaded[k0]["amax"] - amax[k0]["amax"]) < 1e-6
 
 
 def test_pipeline_weight_dtype_validation():

@@ -101,6 +101,39 @@ def _setup(tcd, steps=3):
     return schedule, t_embs, latent0, context, uncond
 
 
+def test_device_noise_matches_host_noise(unet_params):
+    """In-jit Philox noise (latent0=None + philox_kc) must reproduce the host
+    rng.stateless_normal path for the same integer seed: identical Philox bits,
+    float divergence bounded by libm ULPs through the short scan."""
+    from minsdtf_tpu import rng as rng_lib
+
+    schedule, t_embs, _, context, uncond = _setup(False)
+    seed = 123456
+    rows = {k: getattr(schedule, k) for k in (
+        "sr_t", "nr_t", "sr_prev", "nr_prev", "sr_s", "nr_s",
+        "c_denoised", "c_noise", "is_last")}
+    common = dict(
+        noise_key=None, use_cfg=True, active_tcd=False, stochastic=False,
+        use_controls=False, use_inpaint=False, decode=False,
+    )
+    latent0 = rng_lib.stateless_normal((B, H, W, 4), seed).astype(np.float32)
+    _, want = sampler.generate(
+        unet_params, None, jnp.asarray(latent0, jnp.float32),
+        jnp.asarray(context, jnp.float32), jnp.asarray(uncond, jnp.float32),
+        jnp.asarray(t_embs, jnp.float32), rows,
+        jnp.float32(7.5), jnp.float32(0.0), **common)
+    _, got = sampler.generate(
+        unet_params, None, None,
+        jnp.asarray(context, jnp.float32), jnp.asarray(uncond, jnp.float32),
+        jnp.asarray(t_embs, jnp.float32), rows,
+        jnp.float32(7.5), jnp.float32(0.0),
+        philox_kc=jnp.asarray(rng_lib.philox_key_counter(seed)),
+        latent_shape=(B, H, W, 4), latent_dtype="float32", **common)
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want, np.float32),
+        rtol=5e-4, atol=5e-4)
+
+
 @pytest.mark.parametrize("tcd,scale,rescale", [
     (False, 7.5, 0.0),
     (False, 7.5, 0.7),
