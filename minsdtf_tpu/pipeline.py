@@ -53,8 +53,14 @@ BOS_TOKEN_ID = 49406
 _DEVICE_NOISE = os.environ.get("MINSDTF_DEVICE_NOISE", "1") == "1"
 
 # Persistent compilation cache: the sampler program is large (whole denoise loop);
-# caching makes process restarts start in seconds instead of minutes.
-if not os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+# caching makes process restarts start in seconds instead of minutes. CPU runs must
+# NOT use it: XLA:CPU AOT executables bake the compiling host's vector ISA and the
+# cache key does not include it, so an entry written by a different host generation
+# aborts the process at load ("Machine type ... doesn't match", then SIGABRT in
+# jax Array._value — hit by tests/test_sharding.py when the build machine changed).
+if not os.environ.get("JAX_COMPILATION_CACHE_DIR") and not (
+    jax.config.jax_platforms == "cpu" or os.environ.get("JAX_PLATFORMS") == "cpu"
+):
     try:
         jax.config.update(
             "jax_compilation_cache_dir", os.path.expanduser("~/.cache/minsdtf-jax")
