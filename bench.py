@@ -13,7 +13,10 @@ achieved fraction of the analytic speed-of-light for this workload on the local 
   - ``e2e_prompt``: full prompt -> image seconds (tokenize + LPW + CLIP + sampler),
     vs the headline which times ``generate_image`` from a precomputed context;
   - ``throughput_b8``: batch-8 s/img, the serving-throughput configuration;
-  - ``tcd4_b8``: TCD 4-step batch-8 s/img, the few-step distilled-serving config.
+  - ``tcd4_b8``: TCD 4-step batch-8 s/img, the few-step distilled-serving config;
+  - ``pipelined``: s/img through queued dispatch (``generate_images``);
+  - ``served_qps``: sustained images/s through the live HTTP serving daemon
+    (``tools/serve.py``) with 3 concurrent clients, incl. JSON/base64/PNG work.
 
 A compiled-kernel parity selfcheck (Pallas vs XLA on THIS chip) runs first;
 MINSDTF_SELFCHECK=0 skips. Weights are seeded-random (zero-egress env) — identical
@@ -155,6 +158,51 @@ def main():
                 run_queue(s0)
                 tq.append(time.perf_counter() - t0)
             result_extra["pipelined"] = round(float(np.median(tq)) / 4, 4)
+            # sustained serving throughput through the real HTTP daemon
+            # (tools/serve.py): concurrent clients posting context payloads to a
+            # live server; counts JSON/base64/PNG overhead as serving work.
+            import base64
+            import threading
+            import urllib.request
+
+            from minsdtf_tpu.tools import serve as serve_mod
+
+            server, worker = serve_mod.serve(pipe, port=0)  # ephemeral port
+            port = server.server_address[1]
+            srv_thread = threading.Thread(target=server.serve_forever, daemon=True)
+            srv_thread.start()
+            payload_base = {
+                "context": base64.b64encode(encoded.tobytes()).decode(),
+                "steps": steps, "guidance_scale": 7.5, "guidance_rescale": 0.7,
+            }
+
+            def post(seed):
+                body = json.dumps({**payload_base, "seed": seed}).encode()
+                req = urllib.request.Request(
+                    f"http://127.0.0.1:{port}/generate", data=body,
+                    headers={"Content-Type": "application/json"})
+                with urllib.request.urlopen(req, timeout=300) as resp:
+                    resp.read()
+
+            def client(seeds):
+                for s in seeds:
+                    post(s)
+
+            post(51)  # warm the daemon path (program already compiled+staged)
+            n_req, n_cli = 6, 3
+            threads = [
+                threading.Thread(target=client,
+                                 args=([61 + c + n_cli * i for i in range(n_req // n_cli)],))
+                for c in range(n_cli)
+            ]
+            t0 = time.perf_counter()
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join()
+            result_extra["served_qps"] = round(n_req / (time.perf_counter() - t0), 4)
+            server.shutdown()
+            worker.stop()
             # full prompt -> image wall time (tokenize + LPW + CLIP + sampler).
             # MINSDTF_BPE selects the real CLIP merges file when present; otherwise
             # a synthetic merges vocabulary is generated — token *timing* does not

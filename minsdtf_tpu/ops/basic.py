@@ -27,9 +27,13 @@ Padding = Union[int, Tuple[Tuple[int, int], Tuple[int, int]]]
 _INT8_BARRIER = os.environ.get("MINSDTF_INT8_BARRIER", "0") == "1"
 # Manual space-to-batch row-block count for W8A8 convs (0 = direct conv).
 _INT8_BLOCKS = int(os.environ.get("MINSDTF_INT8_BLOCKS", "16"))
-# Experimental: manual space-to-batch for FLOAT convs too (0 = off = XLA's own
-# space-to-batch pass, which does fire for float convs; e2e A/B knob).
-_FLOAT_BLOCKS = int(os.environ.get("MINSDTF_FLOAT_BLOCKS", "0"))
+# Manual space-to-batch for FLOAT convs (0 = XLA's own space-to-batch pass).
+# Default ON: the r3 e2e A/B measured 0.594 -> 0.484 s/img wall with the conv
+# bucket at 150.7 TF/s (XLA's automatic pass picks shallower foldings in the
+# big UNet graph). Same products but a different accumulation grouping
+# (measured 4e-5 fp32 max abs diff on CPU), so it applies to bf16 production
+# activations only — fp32 parity/oracle paths keep the direct conv.
+_FLOAT_BLOCKS = int(os.environ.get("MINSDTF_FLOAT_BLOCKS", "16"))
 
 
 def matmul_precision(dtype) -> Optional[jax.lax.Precision]:
@@ -153,7 +157,7 @@ def conv2d(x: jax.Array, p: dict, stride: int = 1, padding: Padding = 0) -> jax.
         out = (out.astype(jnp.float32) * (asc * p["kernel_scale"])).astype(x.dtype)
     else:
         kernel = p["kernel"].astype(x.dtype)
-        if _FLOAT_BLOCKS > 1:
+        if _FLOAT_BLOCKS > 1 and x.dtype != jnp.float32:
             out = _blocked_conv(
                 x, kernel, stride, pad, _FLOAT_BLOCKS,
                 preferred=jnp.float32, precision=matmul_precision(x.dtype),

@@ -113,6 +113,48 @@ def _onepass_block_q(q_len: int, kv_len: int):
     return block
 
 
+def _onepass_kernel_int8qk(q_ref, k_ref, v_ref, o_ref, *, scale: float, d: int):
+    """One-pass attention with the QK^T contraction on the int8 MXU path.
+
+    Why: at head_dim 40 the bf16 QK^T fills only 40/128 contraction lanes — the
+    structural cap measured in r2 (~59 TF/s effective for the whole kernel). The
+    MXU processes int8 at 2x rate by packing two values per lane per cycle, so an
+    int8 QK^T halves the contraction cycles at the SAME lane fill — the one lever
+    that moves a K=40 contraction.
+
+    Accuracy (SageAttention-style, arXiv:2410.02367 pattern, reimplemented): Q is
+    quantized per-token and K per-token (kv axis); the int32 scores are exact, and
+    dequantization is the rank-1 outer product of the two scale vectors — one VPU
+    pass over the score tile. Per-token int8 (7-bit mantissa vs tile amax) is
+    comparable to bf16's 8-bit mantissa; the softmax stays fp32 and PV stays bf16.
+    """
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    qf = q.astype(jnp.float32)
+    kf = k.astype(jnp.float32)
+    qa = jnp.max(jnp.abs(qf), axis=1, keepdims=True)      # (block_q, 1)
+    ka = jnp.max(jnp.abs(kf), axis=1, keepdims=True)      # (kv, 1)
+    qsc = jnp.maximum(qa, 1e-12) * (1.0 / 127.0)
+    ksc = jnp.maximum(ka, 1e-12) * (1.0 / 127.0)
+    q8 = jnp.round(qf * (1.0 / qsc)).astype(jnp.int8)
+    k8 = jnp.round(kf * (1.0 / ksc)).astype(jnp.int8)
+    s32 = jax.lax.dot_general(
+        q8, k8, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32
+    )  # exact int32 scores
+    # dequant + scale + log2e in ONE elementwise pass: rank-1 scale outer product
+    s = s32.astype(jnp.float32) * ((qsc * (scale * LOG2E)) * ksc.reshape(1, -1))
+    m = jnp.max(s, axis=1, keepdims=True)
+    p = jnp.exp2(s - m)
+    ones = jnp.ones((v.shape[0], 1), dtype=v.dtype)
+    vl = jnp.concatenate([v, ones], axis=1)
+    pvl = jax.lax.dot_general(
+        p.astype(v.dtype), vl, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    o_ref[0] = (pvl[:, :d] / pvl[:, d:]).astype(o_ref.dtype)
+
+
 def _onepass_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, d: int):
     """Single-KV-block attention: scores for the whole row in VMEM, one softmax.
 
@@ -202,8 +244,12 @@ def flash_attention(
 
     if _use_onepass(sq, sk, d):
         block_q = _onepass_block_q(sq, sk)
+        kern = (_onepass_kernel_int8qk
+                if os.environ.get("MINSDTF_FLASH_INT8QK", "0") == "1" and
+                q.dtype == jnp.bfloat16
+                else _onepass_kernel)
         out = pl.pallas_call(
-            functools.partial(_onepass_kernel, scale=scale, d=d),
+            functools.partial(kern, scale=scale, d=d),
             grid=(b * h, sq // block_q),
             in_specs=[
                 pl.BlockSpec((1, block_q, d), lambda ibh, iq: (ibh, iq, 0)),
