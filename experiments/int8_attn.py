@@ -51,7 +51,15 @@ def main():
 
     flops_per_call = 2 * 2 * b * h * s * s * d  # QK + PV
     results = {}
-    for name, knob in (("bf16", "0"), ("int8qk", "1")):
+    variants = [("bf16", "0"), ("int8qk", "1"), ("int8qk_hoisted", "2")]
+    if os.environ.get("BLOCKQ_SWEEP") == "1":
+        variants += [("int8qk_bq256", "1:256"), ("int8qk_bq128", "1:128")]
+    for name, knob in variants:
+        if ":" in knob:
+            knob, bq = knob.split(":")
+            os.environ["MINSDTF_INT8QK_BLOCKQ"] = bq
+        else:
+            os.environ.pop("MINSDTF_INT8QK_BLOCKQ", None)
         os.environ["MINSDTF_FLASH_INT8QK"] = knob
 
         def run(q, k, v, x0):
@@ -65,7 +73,12 @@ def main():
 
         f = jax.jit(run)
         zero = jnp.zeros((), jnp.bfloat16)
-        f(q, k, v, zero)  # compile
+        try:
+            f(q, k, v, zero)  # compile
+        except Exception as e:  # e.g. Mosaic scoped-VMEM overflow — keep sweeping
+            print(f"{name}: COMPILE FAILED — {type(e).__name__}: "
+                  f"{str(e).splitlines()[0][:160]}", flush=True)
+            continue
         np.asarray(f(q, k, v, zero * 0 + 1e-12))  # staging rep, distinct args
         t0 = time.perf_counter()
         out = np.asarray(f(q, k, v, zero * 0 + 2e-12))
@@ -77,7 +90,9 @@ def main():
         print(f"{name}: {per_call*1e3:.3f} ms/call  {tf:.1f} TF/s-effective  "
               f"max abs err vs fp32 oracle {err.max():.5f} mean {err.mean():.6f}",
               flush=True)
-    print(f"speedup int8qk vs bf16: {results['bf16']/results['int8qk']:.3f}x")
+    for name, t in results.items():
+        if name != "bf16" and "bf16" in results:
+            print(f"speedup {name} vs bf16: {results['bf16']/t:.3f}x")
 
 
 if __name__ == "__main__":

@@ -155,6 +155,46 @@ def _onepass_kernel_int8qk(q_ref, k_ref, v_ref, o_ref, *, scale: float, d: int):
     o_ref[0] = (pvl[:, :d] / pvl[:, d:]).astype(o_ref.dtype)
 
 
+def _onepass_kernel_int8qk_hoisted(q_ref, k_ref, v_ref, qs_ref, ks_ref, o_ref, *,
+                                   scale: float, d: int):
+    """int8-QK one-pass variant with quantization HOISTED out of the kernel
+    (MINSDTF_FLASH_INT8QK=2): Q/K arrive already int8 with per-token fp32 scales.
+
+    vs the in-kernel variant (=1): (a) K is quantized ONCE per attention call in
+    XLA (fusable into the projection epilogue) instead of once per q-block on the
+    kernel's VPU; (b) the kernel never materializes fp32 copies of Q/K, cutting
+    peak VMEM by ~2 (kv, d) fp32 buffers — the in-kernel variant's overflow risk
+    at block_q 512. Same math: exact int32 scores, rank-1 scale outer product."""
+    q8 = q_ref[0]
+    k8 = k_ref[0]
+    v = v_ref[0]
+    s32 = jax.lax.dot_general(
+        q8, k8, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32
+    )
+    qsc = qs_ref[0].astype(jnp.float32)          # (block_q, 1)
+    ksc = ks_ref[0].astype(jnp.float32)          # (kv, 1)
+    s = s32.astype(jnp.float32) * ((qsc * (scale * LOG2E)) * ksc.reshape(1, -1))
+    m = jnp.max(s, axis=1, keepdims=True)
+    p = jnp.exp2(s - m)
+    ones = jnp.ones((v.shape[0], 1), dtype=v.dtype)
+    vl = jnp.concatenate([v, ones], axis=1)
+    pvl = jax.lax.dot_general(
+        p.astype(v.dtype), vl, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    o_ref[0] = (pvl[:, :d] / pvl[:, d:]).astype(o_ref.dtype)
+
+
+def _quantize_per_token(x: jax.Array):
+    """Per-token symmetric int8: (BH, S, D) -> int8 values + (BH, S, 1) fp32 scales.
+    Runs in XLA where it fuses with the producing projection."""
+    xf = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+    sc = jnp.maximum(amax, 1e-12) * (1.0 / 127.0)
+    x8 = jnp.clip(jnp.round(xf / sc), -127, 127).astype(jnp.int8)
+    return x8, sc
+
+
 def _onepass_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, d: int):
     """Single-KV-block attention: scores for the whole row in VMEM, one softmax.
 
@@ -244,10 +284,39 @@ def flash_attention(
 
     if _use_onepass(sq, sk, d):
         block_q = _onepass_block_q(sq, sk)
-        kern = (_onepass_kernel_int8qk
-                if os.environ.get("MINSDTF_FLASH_INT8QK", "0") == "1" and
-                q.dtype == jnp.bfloat16
-                else _onepass_kernel)
+        int8qk = os.environ.get("MINSDTF_FLASH_INT8QK", "0")
+        if q.dtype != jnp.bfloat16:
+            int8qk = "0"  # fp32 parity/oracle paths never quantize
+        if int8qk == "2":
+            # hoisted quantization: XLA fuses the per-token amax/round into the
+            # QKV projection epilogue; the kernel reads int8 + scale vectors.
+            q8, qsc = _quantize_per_token(qf)
+            k8, ksc = _quantize_per_token(kf)
+            out = pl.pallas_call(
+                functools.partial(_onepass_kernel_int8qk_hoisted, scale=scale, d=d),
+                grid=(b * h, sq // block_q),
+                in_specs=[
+                    pl.BlockSpec((1, block_q, d), lambda ibh, iq: (ibh, iq, 0)),
+                    pl.BlockSpec((1, sk, d), lambda ibh, iq: (ibh, 0, 0)),
+                    pl.BlockSpec((1, sk, d), lambda ibh, iq: (ibh, 0, 0)),
+                    pl.BlockSpec((1, block_q, 1), lambda ibh, iq: (ibh, iq, 0)),
+                    pl.BlockSpec((1, sk, 1), lambda ibh, iq: (ibh, 0, 0)),
+                ],
+                out_specs=pl.BlockSpec((1, block_q, d), lambda ibh, iq: (ibh, iq, 0)),
+                out_shape=jax.ShapeDtypeStruct((b * h, sq, d), q.dtype),
+                interpret=interpret,
+            )(q8, k8, vf, qsc, ksc)
+            return out.reshape(b, h, sq, d).transpose(0, 2, 1, 3)
+        if int8qk == "1":
+            kern = _onepass_kernel_int8qk
+            # the in-kernel variant holds fp32 Q/K copies + int32 scores on top of
+            # the fp32 score/prob buffers — allow capping block_q for VMEM headroom
+            cap = int(os.environ.get("MINSDTF_INT8QK_BLOCKQ", "0"))
+            if cap:
+                while block_q > cap and sq % (block_q // 2) == 0:
+                    block_q //= 2
+        else:
+            kern = _onepass_kernel
         out = pl.pallas_call(
             functools.partial(kern, scale=scale, d=d),
             grid=(b * h, sq // block_q),
