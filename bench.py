@@ -129,7 +129,8 @@ def main():
         # headline = median (typical); min/max expose the ±5% tunnel jitter.
         elapsed = float(np.median(times))
 
-        if extras:
+        if extras:  # noqa: C901 — each extra is best-effort; see the guard below
+          try:  # an extras failure must never cost the headline JSON line
             # batch-8 serving throughput (same program, batched); 3 kept reps
             t8 = _time_runs(jax, lambda s: run(s, b=8), 3, (1,), [(2,), (3,), (4,), (5,)])
             result_extra["throughput_b8"] = round(float(np.median(t8)) / 8, 4)
@@ -219,6 +220,10 @@ def main():
                                      num_steps=steps, seed=9)
             jax.block_until_ready(img)
             result_extra["e2e_prompt"] = round(time.perf_counter() - t0, 4)
+          except Exception as e:
+            # partial extras stay in result_extra; the error is published so a
+            # missing field is diagnosable from BENCH_r*.json alone
+            result_extra["extras_error"] = f"{type(e).__name__}: {e}"[:200]
 
     sec_per_image = elapsed / batch
     ideal = flops_per_image(size, size, steps, 1) / peak_flops()

@@ -38,16 +38,24 @@ from minsdtf_tpu.models import vae as vae_lib
 # is host state, not a traced value: pipeline registers it here and the scan body
 # emits step indices through jax.debug.callback when `with_progress` is set.
 _progress_callback = None
+_progress_high = 0  # high-water mark: ordered=False callbacks may arrive out of
+# order; the user callback only ever sees monotonically increasing steps (the
+# ordered=True alternative threads a token through the scan and serializes
+# dispatch — not worth it for a progress bar).
 
 
 def set_progress_callback(fn) -> None:
-    global _progress_callback
+    global _progress_callback, _progress_high
     _progress_callback = fn
+    _progress_high = 0
 
 
 def _emit_progress(idx) -> None:
-    if _progress_callback is not None:
-        _progress_callback(int(idx) + 1)
+    global _progress_high
+    step = int(idx) + 1
+    if _progress_callback is not None and step > _progress_high:
+        _progress_high = step
+        _progress_callback(step)
 
 
 def rescale_noise_cfg(noise_cfg, noise_pred_text, guidance_rescale, epsilon=1e-5):

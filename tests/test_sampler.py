@@ -290,6 +290,20 @@ def test_progress_callback(unet_params):
     finally:
         sampler.set_progress_callback(None)
     assert sorted(seen) == [1, 2, 3]
+    assert seen == sorted(seen)  # monotone delivery is part of the contract
+
+
+def test_progress_monotone_guard():
+    """ordered=False debug callbacks may arrive out of order; the user callback
+    must only ever see increasing step numbers (high-water mark filter)."""
+    seen = []
+    sampler.set_progress_callback(seen.append)
+    try:
+        for idx in (0, 2, 1, 3):  # simulated out-of-order arrival (0-based)
+            sampler._emit_progress(idx)
+    finally:
+        sampler.set_progress_callback(None)
+    assert seen == [1, 3, 4]
 
 
 def test_decode_path(unet_params, vae_params):
