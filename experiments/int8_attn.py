@@ -28,7 +28,13 @@ def main():
     from minsdtf_tpu.ops import flash_attention as fa
 
     rng = np.random.RandomState(0)
-    b, s, h, d = 2, 4096, 8, 40
+    if os.environ.get("ONLINE") == "1":
+        # long-context online-kernel shape (1024px self-attention); forces the
+        # online kernel (kv > ONEPASS_MAX_KV) where int8-QK is always hoisted
+        b, s, h, d = 1, 16384, 8, 40
+        os.environ["MINSDTF_FLASH_ONEPASS"] = "0"
+    else:
+        b, s, h, d = 2, 4096, 8, 40
     scale = 1.0 / np.sqrt(d)
     q = jnp.asarray(rng.normal(0, 1, (b, s, h, d)), jnp.bfloat16)
     k = jnp.asarray(rng.normal(0, 1, (b, s, h, d)), jnp.bfloat16)
@@ -51,9 +57,12 @@ def main():
 
     flops_per_call = 2 * 2 * b * h * s * s * d  # QK + PV
     results = {}
-    variants = [("bf16", "0"), ("int8qk", "1"), ("int8qk_hoisted", "2")]
-    if os.environ.get("BLOCKQ_SWEEP") == "1":
-        variants += [("int8qk_bq256", "1:256"), ("int8qk_bq128", "1:128")]
+    if os.environ.get("ONLINE") == "1":
+        variants = [("bf16", "0"), ("int8qk_hoisted", "2")]  # online path: hoisted only
+    else:
+        variants = [("bf16", "0"), ("int8qk", "1"), ("int8qk_hoisted", "2")]
+        if os.environ.get("BLOCKQ_SWEEP") == "1":
+            variants += [("int8qk_bq256", "1:256"), ("int8qk_bq128", "1:128")]
     for name, knob in variants:
         if ":" in knob:
             knob, bq = knob.split(":")

@@ -223,6 +223,51 @@ def _onepass_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, d: int):
     o_ref[0] = (pvl[:, :d] / pvl[:, d:]).astype(o_ref.dtype)
 
 
+def _kernel_int8qk(q_ref, k_ref, v_ref, qs_ref, ks_ref, o_ref, m_scr, l_scr,
+                   acc_scr, *, scale: float, kv_blocks: int):
+    """Online-softmax kernel with hoisted int8-QK (MINSDTF_FLASH_INT8QK, long-
+    context path: >=1024px images where kv > ONEPASS_MAX_KV). Same online (m, l,
+    acc) recurrence as ``_kernel``; the QK^T contraction runs on the int8 MXU
+    (2 values/lane/cycle — at d=40 the only lever on the 40/128 lane fill, and at
+    2048px attention dominates the whole generation). Q/K arrive pre-quantized
+    per-token with fp32 scales (see ``_quantize_per_token``)."""
+    ik = pl.program_id(2)
+
+    @pl.when(ik == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    q8 = q_ref[0]  # (block_q, d) int8
+    k8 = k_ref[0]  # (block_k, d) int8
+    v = v_ref[0]
+    s32 = jax.lax.dot_general(
+        q8, k8, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32
+    )
+    qsc = qs_ref[0].astype(jnp.float32)          # (block_q, 1)
+    ksc = ks_ref[0].astype(jnp.float32)          # (block_k, 1)
+    s = s32.astype(jnp.float32) * ((qsc * scale) * ksc.reshape(1, -1))
+
+    m_prev = m_scr[:]
+    m_cur = jnp.max(s, axis=1, keepdims=True)
+    m_new = jnp.maximum(m_prev, m_cur)
+    p = jnp.exp(s - m_new)
+    correction = jnp.exp(m_prev - m_new)
+    l_new = correction * l_scr[:] + jnp.sum(p, axis=1, keepdims=True)
+    pv = jax.lax.dot_general(
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    acc_scr[:] = acc_scr[:] * correction + pv
+    m_scr[:] = m_new
+    l_scr[:] = l_new
+
+    @pl.when(ik == kv_blocks - 1)
+    def _finalize():
+        o_ref[0] = (acc_scr[:] / l_scr[:]).astype(o_ref.dtype)
+
+
 def _kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *, scale: float, kv_blocks: int):
     """Grid (BH, q_blocks, kv_blocks); kv is the minor (sequential) axis, so the
     scratch accumulators carry the online-softmax state across kv steps."""
@@ -336,6 +381,34 @@ def flash_attention(
     kv_blocks = pl.cdiv(sk, block_k)
 
     grid = (b * h, sq // block_q, kv_blocks)
+    scratch = [
+        pltpu.VMEM((block_q, 1), jnp.float32),
+        pltpu.VMEM((block_q, 1), jnp.float32),
+        pltpu.VMEM((block_q, d), jnp.float32),
+    ]
+    if (os.environ.get("MINSDTF_FLASH_INT8QK", "0") != "0"
+            and q.dtype == jnp.bfloat16):
+        # long-context int8-QK: always the hoisted form (an in-kernel variant
+        # would requantize each K block once per q-block — pure VPU waste).
+        q8, qsc = _quantize_per_token(qf)
+        k8, ksc = _quantize_per_token(kf)
+        out = pl.pallas_call(
+            functools.partial(_kernel_int8qk, scale=scale, kv_blocks=kv_blocks),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, block_q, d), lambda ibh, iq, ik: (ibh, iq, 0)),
+                pl.BlockSpec((1, block_k, d), lambda ibh, iq, ik: (ibh, ik, 0)),
+                pl.BlockSpec((1, block_k, d), lambda ibh, iq, ik: (ibh, ik, 0)),
+                pl.BlockSpec((1, block_q, 1), lambda ibh, iq, ik: (ibh, iq, 0)),
+                pl.BlockSpec((1, block_k, 1), lambda ibh, iq, ik: (ibh, ik, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, block_q, d), lambda ibh, iq, ik: (ibh, iq, 0)),
+            out_shape=jax.ShapeDtypeStruct((b * h, sq, d), q.dtype),
+            scratch_shapes=scratch,
+            interpret=interpret,
+        )(q8, k8, vf, qsc, ksc)
+        return out.reshape(b, h, sq, d).transpose(0, 2, 1, 3)
+
     out = pl.pallas_call(
         functools.partial(_kernel, scale=scale, kv_blocks=kv_blocks),
         grid=grid,
@@ -346,11 +419,7 @@ def flash_attention(
         ],
         out_specs=pl.BlockSpec((1, block_q, d), lambda ibh, iq, ik: (ibh, iq, 0)),
         out_shape=jax.ShapeDtypeStruct((b * h, sq, d), q.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((block_q, 1), jnp.float32),
-            pltpu.VMEM((block_q, 1), jnp.float32),
-            pltpu.VMEM((block_q, d), jnp.float32),
-        ],
+        scratch_shapes=scratch,
         interpret=interpret,
     )(qf, kf, vf)
 

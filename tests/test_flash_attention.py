@@ -88,3 +88,27 @@ def test_onepass_int8qk_accuracy(monkeypatch):
     # hoisted variant: same math modulo where the quantize runs; the only numeric
     # difference is bf16 input rounding order — must stay in the same error class
     assert err["int8qk_hoisted"] < max(4 * err["bf16"], 0.02), err
+
+
+def test_online_int8qk_accuracy(monkeypatch):
+    """The ONLINE kernel's int8-QK path (long-context: kv > ONEPASS_MAX_KV, i.e.
+    >=1024px images) — force the online kernel by disabling one-pass and check the
+    hoisted int8-QK against the fp32 oracle at a multi-KV-block shape."""
+    rng = np.random.RandomState(3)
+    sq = sk = 1024
+    d, h = 40, 2
+    q = rng.normal(0, 1, (1, sq, h, d)).astype(np.float32)
+    k = rng.normal(0, 1, (1, sk, h, d)).astype(np.float32)
+    v = rng.normal(0, 1, (1, sk, h, d)).astype(np.float32)
+    scale = d ** -0.5
+    oracle = np.asarray(_xla_attention(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+                                       scale=scale, causal=False))
+    qb, kb, vb = (jnp.asarray(x, jnp.bfloat16) for x in (q, k, v))
+    monkeypatch.setenv("MINSDTF_FLASH_ONEPASS", "0")  # force the online kernel
+    err = {}
+    for name, knob in (("bf16", "0"), ("int8qk", "2")):
+        monkeypatch.setenv("MINSDTF_FLASH_INT8QK", knob)
+        got = np.asarray(fa.flash_attention(qb, kb, vb, scale=scale,
+                                            interpret=True), np.float32)
+        err[name] = np.abs(got - oracle).max()
+    assert err["int8qk"] < max(4 * err["bf16"], 0.02), err
