@@ -60,7 +60,8 @@ def main():
     if os.environ.get("ONLINE") == "1":
         variants = [("bf16", "0"), ("int8qk_hoisted", "2")]  # online path: hoisted only
     else:
-        variants = [("bf16", "0"), ("int8qk", "1"), ("int8qk_hoisted", "2")]
+        variants = [("bf16", "0"), ("int8qk", "1"), ("int8qk_hoisted", "2"),
+                    ("int8pv", "3")]
         if os.environ.get("BLOCKQ_SWEEP") == "1":
             variants += [("int8qk_bq256", "1:256"), ("int8qk_bq128", "1:128")]
     for name, knob in variants:

@@ -185,6 +185,47 @@ def _onepass_kernel_int8qk_hoisted(q_ref, k_ref, v_ref, qs_ref, ks_ref, o_ref, *
     o_ref[0] = (pvl[:, :d] / pvl[:, d:]).astype(o_ref.dtype)
 
 
+def _onepass_kernel_int8pv(q_ref, k_ref, v_ref, qs_ref, ks_ref, vs_ref, o_ref, *,
+                           scale: float, d: int):
+    """EXPERIMENTAL full-int8 one-pass attention (MINSDTF_FLASH_INT8QK=3): int8
+    QK^T (as variant 2) plus int8 P·V — P quantized in-kernel with the FIXED
+    scale 127 (max(P) = exp2(0) = 1 by construction), V per-channel int8 with the
+    MXU row-sum ones column appended before quantization (quantizes to exactly
+    127 at scale 1/127). The 1/127 of P cancels in the softmax division, leaving
+    one (block_q, d+1) scale multiply.
+
+    Numerics: int8 P drops probability mass below 1/254. Measured on the DIFFUSE
+    worst case (unit-normal q/k, S=4096: row sums 75-430) the output error is
+    ~6% relative — an order beyond the bf16 kernel. Opt-in for measuring the
+    all-int8 speed ceiling; NOT default-eligible without a real-weight audit."""
+    q8 = q_ref[0]
+    k8 = k_ref[0]
+    v8 = v_ref[0]                                 # (kv, d+1) int8, ones col last
+    s32 = jax.lax.dot_general(
+        q8, k8, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32
+    )
+    qsc = qs_ref[0].astype(jnp.float32)
+    ksc = ks_ref[0].astype(jnp.float32)
+    s = s32.astype(jnp.float32) * ((qsc * (scale * LOG2E)) * ksc.reshape(1, -1))
+    m = jnp.max(s, axis=1, keepdims=True)
+    p8 = jnp.round(jnp.exp2(s - m) * 127.0).astype(jnp.int8)
+    pvl32 = jax.lax.dot_general(
+        p8, v8, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+    )
+    pvl = pvl32.astype(jnp.float32) * vs_ref[0].astype(jnp.float32)  # (bq, d+1)
+    o_ref[0] = (pvl[:, :d] / pvl[:, d:]).astype(o_ref.dtype)
+
+
+def _quantize_per_channel(x: jax.Array):
+    """Per-channel symmetric int8 over the last axis: (BH, S, D) -> int8 values +
+    (BH, 1, D) fp32 scales (constant along the contraction the consumer sums)."""
+    xf = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=-2, keepdims=True)
+    sc = jnp.maximum(amax, 1e-12) * (1.0 / 127.0)
+    x8 = jnp.clip(jnp.round(xf / sc), -127, 127).astype(jnp.int8)
+    return x8, sc
+
+
 def _quantize_per_token(x: jax.Array):
     """Per-token symmetric int8: (BH, S, D) -> int8 values + (BH, S, 1) fp32 scales.
     Runs in XLA where it fuses with the producing projection."""
@@ -332,6 +373,28 @@ def flash_attention(
         int8qk = os.environ.get("MINSDTF_FLASH_INT8QK", "0")
         if q.dtype != jnp.bfloat16:
             int8qk = "0"  # fp32 parity/oracle paths never quantize
+        if int8qk == "3":
+            # experimental full-int8 (QK + PV) — see _onepass_kernel_int8pv
+            q8, qsc = _quantize_per_token(qf)
+            k8, ksc = _quantize_per_token(kf)
+            ones = jnp.ones(vf.shape[:-1] + (1,), vf.dtype)
+            v8l, vsc = _quantize_per_channel(jnp.concatenate([vf, ones], axis=-1))
+            out = pl.pallas_call(
+                functools.partial(_onepass_kernel_int8pv, scale=scale, d=d),
+                grid=(b * h, sq // block_q),
+                in_specs=[
+                    pl.BlockSpec((1, block_q, d), lambda ibh, iq: (ibh, iq, 0)),
+                    pl.BlockSpec((1, sk, d), lambda ibh, iq: (ibh, 0, 0)),
+                    pl.BlockSpec((1, sk, d + 1), lambda ibh, iq: (ibh, 0, 0)),
+                    pl.BlockSpec((1, block_q, 1), lambda ibh, iq: (ibh, iq, 0)),
+                    pl.BlockSpec((1, sk, 1), lambda ibh, iq: (ibh, 0, 0)),
+                    pl.BlockSpec((1, 1, d + 1), lambda ibh, iq: (ibh, 0, 0)),
+                ],
+                out_specs=pl.BlockSpec((1, block_q, d), lambda ibh, iq: (ibh, iq, 0)),
+                out_shape=jax.ShapeDtypeStruct((b * h, sq, d), q.dtype),
+                interpret=interpret,
+            )(q8, k8, v8l, qsc, ksc, vsc)
+            return out.reshape(b, h, sq, d).transpose(0, 2, 1, 3)
         if int8qk == "2":
             # hoisted quantization: XLA fuses the per-token amax/round into the
             # QKV projection epilogue; the kernel reads int8 + scale vectors.

@@ -78,7 +78,8 @@ def test_onepass_int8qk_accuracy(monkeypatch):
                                        scale=scale, causal=False))
     qb, kb, vb = (jnp.asarray(x, jnp.bfloat16) for x in (q, k, v))
     err = {}
-    for name, knob in (("bf16", "0"), ("int8qk", "1"), ("int8qk_hoisted", "2")):
+    for name, knob in (("bf16", "0"), ("int8qk", "1"), ("int8qk_hoisted", "2"),
+                       ("int8pv", "3")):
         monkeypatch.setenv("MINSDTF_FLASH_INT8QK", knob)
         got = np.asarray(fa.flash_attention(qb, kb, vb, scale=scale,
                                             interpret=True), np.float32)
@@ -88,6 +89,10 @@ def test_onepass_int8qk_accuracy(monkeypatch):
     # hoisted variant: same math modulo where the quantize runs; the only numeric
     # difference is bf16 input rounding order — must stay in the same error class
     assert err["int8qk_hoisted"] < max(4 * err["bf16"], 0.02), err
+    # full-int8 (QK+PV): int8 P drops sub-1/254 probability mass — documented
+    # ~6% relative in the diffuse regime (experimental, never default): only pin
+    # that it stays in that class and doesn't silently degrade further
+    assert err["int8pv"] < 0.15, err
 
 
 def test_online_int8qk_accuracy(monkeypatch):
