@@ -166,6 +166,9 @@ class StableDiffusion:
             scheduler_type = "tcd" if active_tcd else "ddim"
         if scheduler_type == "lcm":
             self.scheduler = sched_lib.LCMScheduler()
+        elif scheduler_type == "dpm":
+            # DPM-Solver++(2M): DDIM-25 quality at ~12-15 steps (beyond reference)
+            self.scheduler = sched_lib.DPMSolverScheduler()
         elif scheduler_type == "tcd":
             self.scheduler = sched_lib.Scheduler(active_tcd=True)
         elif scheduler_type == "ddim":
@@ -433,7 +436,8 @@ class StableDiffusion:
             rows = {
                 k: jnp.asarray(getattr(schedule, k), jnp.float32)
                 for k in ("sr_t", "nr_t", "sr_prev", "nr_prev", "sr_s", "nr_s",
-                          "c_denoised", "c_noise", "c_skip", "c_out", "is_last")
+                          "c_denoised", "c_noise", "c_skip", "c_out",
+                          "c_x", "c_d", "w", "is_last")
             }
             if len(cache) >= 16:
                 cache.pop(next(iter(cache)))
@@ -689,6 +693,7 @@ class StableDiffusion:
             use_controls = True
 
         is_lcm = schedule.mode == "lcm"
+        is_dpm = schedule.mode == "dpm"
         stochastic = schedule.active_tcd and not is_lcm and eta > 0.0
         noise_key = (
             jax.random.fold_in(jax.random.PRNGKey(key_seed), 1)
@@ -727,6 +732,7 @@ class StableDiffusion:
                 active_tcd=schedule.active_tcd and not is_lcm,
                 stochastic=stochastic,
                 lcm=is_lcm,
+                dpm=is_dpm,
                 use_controls=use_controls,
                 use_inpaint=inpaint_active,
                 with_progress=live_progress,

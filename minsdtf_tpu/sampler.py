@@ -74,7 +74,7 @@ def rescale_noise_cfg(noise_cfg, noise_pred_text, guidance_rescale, epsilon=1e-5
     jax.jit,
     static_argnames=(
         "use_cfg", "active_tcd", "stochastic", "use_controls", "use_inpaint", "decode",
-        "with_progress", "lcm", "sp", "latent_shape", "latent_dtype",
+        "with_progress", "lcm", "dpm", "sp", "latent_shape", "latent_dtype",
     ),
     donate_argnames=("latent0",),
 )
@@ -107,6 +107,7 @@ def generate(
     decode: bool = True,
     with_progress: bool = False,
     lcm: bool = False,
+    dpm: bool = False,
     # identity of the process-global sequence-parallel config
     # (ops.attention.sequence_parallel_key()). Not read in the body — it exists so
     # traces with different SP settings cannot collide in the jit cache.
@@ -184,11 +185,19 @@ def generate(
         merged = uncond + guidance_scale.astype(uncond.dtype) * (cond - uncond)
         return rescale_noise_cfg(merged, cond, guidance_rescale.astype(uncond.dtype))
 
-    def body(latent, step):
+    def body(carry, step):
+        latent = carry[0] if dpm else carry
         eps = unet_eps(latent, step["t_emb"]).astype(jnp.float32)
         lat32 = latent.astype(jnp.float32)
         x0 = (lat32 - step["nr_t"] * eps) / step["sr_t"]
-        if lcm:
+        if dpm:
+            # DPM-Solver++(2M) multistep update (scheduler.DPMSolverScheduler):
+            # the carry threads the previous step's x0 prediction; w = 0 on the
+            # first step (no history) and the final step (lower-order-final).
+            x0_prev = carry[1]
+            d = (1.0 + step["w"]) * x0 - step["w"] * x0_prev
+            new = step["c_x"] * lat32 + step["c_d"] * d
+        elif lcm:
             # LCM consistency update (scheduler.LCMScheduler.step): boundary-scaled
             # denoise, then full re-noise to prev_t with fresh z (except last step).
             denoised = step["c_out"] * x0 + step["c_skip"] * lat32
@@ -218,10 +227,13 @@ def generate(
             new = origin * (1.0 - m) + new * m
         if with_progress:
             jax.debug.callback(_emit_progress, step["idx"], ordered=False)
-        return new.astype(compute_dtype), None
+        new = new.astype(compute_dtype)
+        return ((new, x0) if dpm else new), None
 
     unroll = int(os.environ.get("MINSDTF_SCAN_UNROLL", "1"))
-    latent, _ = jax.lax.scan(body, latent0, xs, unroll=unroll)
+    carry0 = (latent0, jnp.zeros(latent0.shape, jnp.float32)) if dpm else latent0
+    carry, _ = jax.lax.scan(body, carry0, xs, unroll=unroll)
+    latent = carry[0] if dpm else carry
 
     if not decode:
         return None, latent

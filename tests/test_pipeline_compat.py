@@ -91,3 +91,20 @@ def test_vae_handles(pipe):
     assert lat.shape == (1, 8, 8, 4)
     out = pipe.image_decoder.predict_on_batch(lat)
     assert out.shape == (1, 64, 64, 3)
+
+
+def test_dpm_scheduler_wiring():
+    """scheduler_type="dpm" selects DPMSolverScheduler and the cached device rows
+    carry the DPM coefficients the sampler's dpm branch consumes (no model init —
+    sub-models are lazy and _device_schedule is pure host+schedule work)."""
+    from minsdtf_tpu import scheduler as sched_lib
+    from minsdtf_tpu.pipeline import StableDiffusion
+
+    pipe = StableDiffusion(img_height=64, img_width=64, scheduler_type="dpm")
+    assert isinstance(pipe.scheduler, sched_lib.DPMSolverScheduler)
+    assert pipe.scheduler.mode == "dpm"
+    schedule, t_embs, rows = pipe._device_schedule(4, None, 0.3)
+    assert schedule.mode == "dpm"
+    for k in ("c_x", "c_d", "w"):
+        assert k in rows and rows[k].shape == (4,)
+    assert float(rows["w"][0]) == 0.0 and float(rows["c_d"][-1]) == 1.0

@@ -322,3 +322,42 @@ def test_decode_path(unet_params, vae_params):
     )
     assert img.shape == (B, H * 8, W * 8, 3) and img.dtype == jnp.uint8
     assert latent.shape == latent0.shape
+
+
+def test_scan_matches_host_loop_dpm(unet_params):
+    """DPM-Solver++(2M) branch: the scan (which threads x0_prev through the carry)
+    equals an explicit host loop over DPMSolverScheduler's row coefficients."""
+    rng = np.random.RandomState(0)
+    schedule = sched_lib.build_denoise_schedule(sched_lib.DPMSolverScheduler(), 4)
+    assert schedule.mode == "dpm"
+    t_embs = sched_lib.timestep_embedding(schedule.timesteps, dim=SMALL["widths"][0])
+    latent0 = rng.normal(0, 1, (B, H, W, 4)).astype(np.float32)
+    context = rng.normal(0, 1, (B, 77, 768)).astype(np.float32)
+    uncond = rng.normal(0, 1, (B, 77, 768)).astype(np.float32)
+    scale = 2.0
+
+    apply = jax.jit(unet_lib.apply)
+    latent = latent0.copy()
+    x0_prev = np.zeros_like(latent)
+    for i in range(schedule.num_steps):
+        t_emb = np.repeat(t_embs[i][None], B, axis=0)
+        e_u = np.asarray(apply(unet_params, latent, t_emb, uncond), np.float32)
+        e_c = np.asarray(apply(unet_params, latent, t_emb, context), np.float32)
+        eps = e_u + scale * (e_c - e_u)
+        x0 = (latent - schedule.nr_t[i] * eps) / schedule.sr_t[i]
+        d = (1.0 + schedule.w[i]) * x0 - schedule.w[i] * x0_prev
+        latent = (schedule.c_x[i] * latent + schedule.c_d[i] * d).astype(np.float32)
+        x0_prev = x0
+
+    rows = {k: getattr(schedule, k) for k in (
+        "sr_t", "nr_t", "sr_prev", "nr_prev", "sr_s", "nr_s",
+        "c_denoised", "c_noise", "c_x", "c_d", "w", "is_last")}
+    _, got = sampler.generate(
+        unet_params, None,
+        jnp.asarray(latent0), jnp.asarray(context), jnp.asarray(uncond),
+        jnp.asarray(t_embs), rows,
+        jnp.float32(scale), jnp.float32(0.0),
+        use_cfg=True, active_tcd=False, stochastic=False, dpm=True,
+        use_controls=False, use_inpaint=False, decode=False,
+    )
+    np.testing.assert_allclose(np.asarray(got), latent, rtol=2e-4, atol=2e-4)

@@ -274,3 +274,96 @@ def test_tcd_stochastic_mix_statistics():
         mix = dev.c_denoised[i] * d_const + dev.c_noise[i] * z
         np.testing.assert_allclose(mix.mean(), dev.c_denoised[i] * d_const, atol=6e-3)
         np.testing.assert_allclose(mix.std(), dev.c_noise[i], rtol=2e-2)
+
+
+# ---- DPM-Solver++(2M) (beyond reference; arXiv:2211.01095) -------------------------
+
+
+def test_dpm_first_order_equals_ddim():
+    """The first-order DPM-Solver++ step is algebraically the DDIM update:
+    (nr_p/nr_t) x + sr_p (1 - e^{-h}) x0 == sr_p x0 + nr_p eps when
+    x = sr_t x0 + nr_t eps (h = ln(sr_p/nr_p) - ln(sr_t/nr_t)). Checked on real
+    schedule coefficients at every adjacent timestep pair of a 12-step run."""
+    dpm = sch.DPMSolverScheduler()
+    dpm.set_timesteps(12)
+    rng = np.random.RandomState(0)
+    x0 = rng.randn(8)
+    eps = rng.randn(8)
+    for i in range(len(dpm.timesteps) - 1):
+        t, p = int(dpm.timesteps[i]), int(dpm.timesteps[i + 1])
+        sr_t, nr_t = dpm.signal_rates[t], dpm.noise_rates[t]
+        sr_p, nr_p = dpm.signal_rates[p], dpm.noise_rates[p]
+        x = sr_t * x0 + nr_t * eps
+        h = np.log(sr_p / nr_p) - np.log(sr_t / nr_t)
+        got = (nr_p / nr_t) * x + sr_p * (1.0 - np.exp(-h)) * x0
+        want = sr_p * x0 + nr_p * eps  # DDIM
+        np.testing.assert_allclose(got, want, rtol=1e-10)
+
+
+def test_dpm_denoise_schedule_matches_host_step():
+    """Stacked dpm rows (c_x, c_d, w) reproduce DPMSolverScheduler.step including
+    the multistep x0 history and the first/last first-order steps."""
+    rng = np.random.RandomState(5)
+    n = 6
+    shape = (1, 4, 4, 4)
+    host = sch.DPMSolverScheduler()
+    dev = sch.build_denoise_schedule(sch.DPMSolverScheduler(), num_steps=n)
+    assert dev.mode == "dpm"
+    host.set_timesteps(n)
+    np.testing.assert_array_equal(dev.timesteps, host.timesteps)
+    assert dev.w[0] == 0.0 and dev.w[-1] == 0.0
+    assert dev.c_x[-1] == 0.0 and dev.c_d[-1] == 1.0
+
+    latent = rng.randn(*shape).astype(np.float32)
+    x0_prev = np.zeros(shape, np.float32)
+    for i in range(dev.num_steps):
+        eps = rng.randn(*shape).astype(np.float32)
+        want = host.step(eps, int(dev.timesteps[i]), latent)
+        x0 = (latent - dev.nr_t[i] * eps) / dev.sr_t[i]
+        d = (1.0 + dev.w[i]) * x0 - dev.w[i] * x0_prev
+        got = dev.c_x[i] * latent + dev.c_d[i] * d
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+        latent = want.astype(np.float32)
+        x0_prev = x0
+
+
+def test_dpm_constant_x0_is_exact():
+    """With a model whose x0 prediction is constant, the probability-flow ODE is
+    solved EXACTLY by DPM-Solver++ at any step count (the data-prediction
+    exponential integrator is exact for constant x0) — the final latent equals x0.
+    This pins the c_x/c_d definitions (a sign or exp error breaks it by O(1))."""
+    dpm = sch.DPMSolverScheduler()
+    for steps in (2, 5, 9):
+        dev = sch.build_denoise_schedule(sch.DPMSolverScheduler(), num_steps=steps)
+        x0_true = np.full((4,), 1.7)
+        eps_noise = np.random.RandomState(1).randn(4)
+        t0 = int(dev.timesteps[0])
+        x = dpm.signal_rates[t0] * x0_true + dpm.noise_rates[t0] * eps_noise
+        x0_prev = np.zeros(4)
+        for i in range(dev.num_steps):
+            # eps consistent with predicting exactly x0_true from current x
+            eps = (x - dev.sr_t[i] * x0_true) / dev.nr_t[i]
+            x0 = (x - dev.nr_t[i] * eps) / dev.sr_t[i]
+            d = (1.0 + dev.w[i]) * x0 - dev.w[i] * x0_prev
+            x = dev.c_x[i] * x + dev.c_d[i] * d
+            x0_prev = x0
+        np.testing.assert_allclose(x, x0_true, rtol=1e-6)
+
+
+def test_dpm_rows_golden():
+    """Golden coefficient values for a 4-step run, hand-computed from the schedule
+    tables (pins h, w = h/(2 h_prev), c_x = nr_p/nr_t, c_d = sr_p (1-e^{-h}))."""
+    dev = sch.build_denoise_schedule(sch.DPMSolverScheduler(), num_steps=4)
+    acp = sch.make_alphas_cumprod()
+    ts = dev.timesteps  # [750, 500, 250, 0]
+    np.testing.assert_array_equal(ts, [750, 500, 250, 0])
+    lam = lambda t: 0.5 * np.log(acp[t] / (1.0 - acp[t]))
+    hs = [lam(ts[i + 1]) - lam(ts[i]) for i in range(3)]
+    for i in range(3):
+        a_t, a_p = acp[ts[i]], acp[ts[i + 1]]
+        np.testing.assert_allclose(
+            dev.c_x[i], np.sqrt((1 - a_p) / (1 - a_t)), rtol=1e-6)
+        np.testing.assert_allclose(
+            dev.c_d[i], np.sqrt(a_p) * (1.0 - np.exp(-hs[i])), rtol=1e-6)
+    np.testing.assert_allclose(dev.w[1], hs[1] / (2 * hs[0]), rtol=1e-6)
+    np.testing.assert_allclose(dev.w[2], hs[2] / (2 * hs[1]), rtol=1e-6)
