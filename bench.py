@@ -14,6 +14,7 @@ achieved fraction of the analytic speed-of-light for this workload on the local 
     vs the headline which times ``generate_image`` from a precomputed context;
   - ``throughput_b8``: batch-8 s/img, the serving-throughput configuration;
   - ``tcd4_b8``: TCD 4-step batch-8 s/img, the few-step distilled-serving config;
+  - ``dpm15``: DPM-Solver++(2M) 15-step batch-1 s/img (DDIM-25 quality class);
   - ``pipelined``: s/img through queued dispatch (``generate_images``);
   - ``served_qps``: sustained images/s through the live HTTP serving daemon
     (``tools/serve.py``) with 3 concurrent clients, incl. JSON/base64/PNG work.
@@ -141,6 +142,15 @@ def main():
                 [(2,), (3,), (4,), (5,)]
             )
             result_extra["tcd4_b8"] = round(float(np.median(tt)) / 8, 4)
+            # DPM-Solver++(2M) at 15 steps — the quality-equivalent fast config
+            # (first+second-order multistep matches DDIM-25 at ~15 steps)
+            dpm_pipe = StableDiffusion(img_height=size, img_width=size,
+                                       scheduler_type="dpm")
+            td = _time_runs(
+                jax, lambda s: run(s, n=15, p=dpm_pipe), 3, (1,),
+                [(2,), (3,), (4,), (5,)]
+            )
+            result_extra["dpm15"] = round(float(np.median(td)), 4)
             # queued-dispatch serving throughput: generate_images dispatches all
             # requests before fetching, hiding host+D2H behind device compute.
             # (The batch-1 program is compiled AND staged by the headline runs

@@ -216,6 +216,10 @@ def main(argv=None):
     ap.add_argument("--depth", type=int, default=2)
     ap.add_argument("--bpe", default=None, help="CLIP merges file (for `prompt` requests)")
     ap.add_argument("--int8", action="store_true", help="serve with W8A8 weights")
+    ap.add_argument("--scheduler", default=None,
+                    choices=["ddim", "tcd", "lcm", "dpm"],
+                    help="sampler (dpm = DPM-Solver++(2M), ~15 steps for "
+                         "DDIM-25 quality)")
     ap.add_argument("--unet", default=None)
     ap.add_argument("--text-encoder", default=None)
     ap.add_argument("--vae", default=None)
@@ -227,6 +231,7 @@ def main(argv=None):
         img_height=args.size, img_width=args.size, bpe_path=args.bpe,
         unet_ckpt=args.unet, text_encoder_ckpt=args.text_encoder, vae_ckpt=args.vae,
         weight_dtype="int8" if args.int8 else None,
+        scheduler_type=args.scheduler,
     )
     server, worker = serve(pipe, args.host, args.port, args.depth)
     print(f"serving on http://{args.host}:{args.port} (depth {worker.depth})")
