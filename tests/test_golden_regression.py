@@ -50,3 +50,34 @@ def test_golden_latent():
         print(f"golden regenerated at {GOLDEN_PATH}")
     golden = np.load(GOLDEN_PATH)["latent"]
     np.testing.assert_allclose(latent, golden, rtol=5e-5, atol=5e-5)
+
+
+DPM_GOLDEN_PATH = os.path.join(os.path.dirname(__file__), "golden", "sampler_latent_dpm.npz")
+
+
+def test_golden_latent_dpm():
+    """Same drift guard for the DPM-Solver++(2M) scan branch (x0-history carry)."""
+    params = unet_lib.init_params(jax.random.PRNGKey(0), dtype=jnp.float32, scale=0.04, **SMALL)
+    params = unet_lib.fuse_attention_projections(params)
+    schedule = sched_lib.build_denoise_schedule(sched_lib.DPMSolverScheduler(), 4)
+    t_embs = sched_lib.timestep_embedding(schedule.timesteps, dim=32)
+    rows = {k: getattr(schedule, k) for k in (
+        "sr_t", "nr_t", "sr_prev", "nr_prev", "sr_s", "nr_s",
+        "c_denoised", "c_noise", "c_x", "c_d", "w", "is_last")}
+    rng = np.random.RandomState(42)
+    latent0 = rng.normal(0, 1, (1, 8, 8, 4)).astype(np.float32)
+    ctx = rng.normal(0, 1, (1, 77, 768)).astype(np.float32)
+    unc = rng.normal(0, 1, (1, 77, 768)).astype(np.float32)
+    _, latent = sampler.generate(
+        params, None, jnp.asarray(latent0), jnp.asarray(ctx), jnp.asarray(unc),
+        jnp.asarray(t_embs), rows, jnp.float32(7.5), jnp.float32(0.7),
+        use_cfg=True, active_tcd=False, stochastic=False, dpm=True,
+        use_controls=False, use_inpaint=False, decode=False,
+    )
+    latent = np.asarray(latent, np.float32)
+    if os.environ.get("REGEN_GOLDEN") == "1" or not os.path.exists(DPM_GOLDEN_PATH):
+        os.makedirs(os.path.dirname(DPM_GOLDEN_PATH), exist_ok=True)
+        np.savez(DPM_GOLDEN_PATH, latent=latent)
+        print(f"golden regenerated at {DPM_GOLDEN_PATH}")
+    golden = np.load(DPM_GOLDEN_PATH)["latent"]
+    np.testing.assert_allclose(latent, golden, rtol=5e-5, atol=5e-5)
