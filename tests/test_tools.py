@@ -52,3 +52,18 @@ def test_convert_cli(tmp_path):
     assert "text_model.encoder.layers.0.self_attn.q_proj" in params
     # second run hits the cache (no exception, same result)
     cli.main(["--text-encoder", ckpt])
+
+
+def test_bench_synthetic_merges_tokenize():
+    """bench.py's e2e_prompt field relies on a synthetic CLIP merges file in the
+    zero-egress env — the generated file must load through ClipTokenizer and
+    tokenize a bench prompt (timing needs the same code path, not the real vocab)."""
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import bench
+    from minsdtf_tpu.text.tokenizer import ClipTokenizer
+
+    tok = ClipTokenizer(bench._synthetic_merges())
+    ids = tok.encode("a photograph of an astronaut riding a horse")
+    assert len(ids) > 0
