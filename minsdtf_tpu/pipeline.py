@@ -169,6 +169,9 @@ class StableDiffusion:
         elif scheduler_type == "dpm":
             # DPM-Solver++(2M): DDIM-25 quality at ~12-15 steps (beyond reference)
             self.scheduler = sched_lib.DPMSolverScheduler()
+        elif scheduler_type == "dpm_karras":
+            # the community-standard "DPM++ 2M Karras" spacing (arXiv:2206.00364)
+            self.scheduler = sched_lib.DPMSolverScheduler(karras_sigmas=True)
         elif scheduler_type == "tcd":
             self.scheduler = sched_lib.Scheduler(active_tcd=True)
         elif scheduler_type == "ddim":

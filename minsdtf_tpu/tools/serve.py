@@ -217,7 +217,7 @@ def main(argv=None):
     ap.add_argument("--bpe", default=None, help="CLIP merges file (for `prompt` requests)")
     ap.add_argument("--int8", action="store_true", help="serve with W8A8 weights")
     ap.add_argument("--scheduler", default=None,
-                    choices=["ddim", "tcd", "lcm", "dpm"],
+                    choices=["ddim", "tcd", "lcm", "dpm", "dpm_karras"],
                     help="sampler (dpm = DPM-Solver++(2M), ~15 steps for "
                          "DDIM-25 quality)")
     ap.add_argument("--unet", default=None)

@@ -367,3 +367,44 @@ def test_dpm_rows_golden():
             dev.c_d[i], np.sqrt(a_p) * (1.0 - np.exp(-hs[i])), rtol=1e-6)
     np.testing.assert_allclose(dev.w[1], hs[1] / (2 * hs[0]), rtol=1e-6)
     np.testing.assert_allclose(dev.w[2], hs[2] / (2 * hs[1]), rtol=1e-6)
+
+
+def test_karras_timesteps_grid():
+    """Karras spacing: strictly descending int grid within [0, 999], endpoints at
+    the table extremes (sigma_max -> t=999, sigma_min -> t=0), and denser at the
+    low-noise end than uniform spacing (the point of the rho=7 warp)."""
+    acp = sch.make_alphas_cumprod()
+    for n in (4, 10, 15, 25):
+        ts = sch.karras_timesteps(n, acp)
+        assert ts.dtype == np.int32 and len(ts) == n
+        assert ts[0] == 999 and ts[-1] == 0
+        assert np.all(np.diff(ts) < 0)
+    ts = sch.karras_timesteps(15, acp)
+    # low-noise (tail) gaps much smaller than high-noise (head) gaps
+    head_gap = ts[0] - ts[1]
+    tail_gap = ts[-2] - ts[-1]
+    assert tail_gap * 4 < head_gap, (head_gap, tail_gap)
+
+
+def test_dpm_karras_schedule_end_to_end():
+    """DPM rows built over the Karras grid keep the invariants (w=0 first/last,
+    clean final boundary) and the constant-x0 integrator stays exact — the update
+    is grid-independent, so this pins the grid plumbing."""
+    dev = sch.build_denoise_schedule(
+        sch.DPMSolverScheduler(karras_sigmas=True), num_steps=8)
+    assert dev.mode == "dpm"
+    assert dev.timesteps[0] == 999 and dev.timesteps[-1] == 0
+    assert dev.w[0] == 0.0 and dev.w[-1] == 0.0
+    assert dev.c_x[-1] == 0.0 and dev.c_d[-1] == 1.0
+    x0_true = np.full((4,), -0.9)
+    x = np.random.RandomState(2).randn(4)  # any start: exactness is per-step
+    sr0, nr0 = dev.sr_t[0], dev.nr_t[0]
+    x = sr0 * x0_true + nr0 * x
+    x0_prev = np.zeros(4)
+    for i in range(dev.num_steps):
+        eps = (x - dev.sr_t[i] * x0_true) / dev.nr_t[i]
+        x0 = (x - dev.nr_t[i] * eps) / dev.sr_t[i]
+        d = (1.0 + dev.w[i]) * x0 - dev.w[i] * x0_prev
+        x = dev.c_x[i] * x + dev.c_d[i] * d
+        x0_prev = x0
+    np.testing.assert_allclose(x, x0_true, rtol=1e-6)
