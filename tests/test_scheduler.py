@@ -408,3 +408,20 @@ def test_dpm_karras_schedule_end_to_end():
         x = dev.c_x[i] * x + dev.c_d[i] * d
         x0_prev = x0
     np.testing.assert_allclose(x, x0_true, rtol=1e-6)
+
+
+def test_dpm_img2img_truncation_first_order_restart():
+    """img2img truncation slices the row range [start, n): the first ITERATED row
+    must restart first-order (w=0 — there is no x0 history), and the truncated
+    rows must equal the corresponding suffix of the full schedule."""
+    full = sch.build_denoise_schedule(sch.DPMSolverScheduler(), num_steps=10)
+    trunc = sch.build_denoise_schedule(
+        sch.DPMSolverScheduler(), num_steps=10, strength=0.5)
+    k = trunc.num_steps
+    assert 0 < k < 10
+    np.testing.assert_array_equal(trunc.timesteps, full.timesteps[10 - k:])
+    assert trunc.w[0] == 0.0
+    # subsequent rows keep the full schedule's 2M weights (same adjacent-h ratios)
+    np.testing.assert_allclose(trunc.w[1:], full.w[10 - k + 1:], rtol=1e-12)
+    np.testing.assert_allclose(trunc.c_x, full.c_x[10 - k:], rtol=1e-12)
+    np.testing.assert_allclose(trunc.c_d, full.c_d[10 - k:], rtol=1e-12)
