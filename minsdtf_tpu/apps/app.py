@@ -18,9 +18,12 @@ except ImportError as e:  # pragma: no cover
 from minsdtf_tpu.apps import common
 
 
+SAMPLERS = ["ddim", "dpm", "dpm_karras", "tcd", "lcm"]
+
+
 @st.cache_resource
-def pipeline(height: int, width: int):
-    return common.build_pipeline(height, width)
+def pipeline(height: int, width: int, sampler: str = "ddim"):
+    return common.build_pipeline(height, width, scheduler_type=sampler)
 
 
 def controls(tab, with_image=False, with_mask=False):
@@ -30,6 +33,7 @@ def controls(tab, with_image=False, with_mask=False):
     height = col1.select_slider("Height", options=list(range(128, 2049, 64)), value=512)
     width = col1.select_slider("Width", options=list(range(128, 2049, 64)), value=512)
     steps = col2.slider("Steps", 1, 100, 25)
+    sampler = col2.selectbox("Sampler", SAMPLERS, index=0)
     scale = col2.slider("Guidance scale", 0.0, 20.0, 7.5)
     rescale = col3.slider("Guidance rescale", 0.0, 1.0, 0.7)
     seed = col3.number_input("Seed", value=int(np.random.randint(0, 2**31 - 1)))
@@ -59,12 +63,13 @@ def controls(tab, with_image=False, with_mask=False):
             except ImportError:
                 tab.caption("install streamlit-drawable-canvas for freehand masks")
     return dict(prompt=prompt, negative=negative, height=height, width=width,
-                steps=steps, scale=scale, rescale=rescale, seed=int(seed),
-                batch=batch, image=image, strength=strength, mask=mask, blur=blur)
+                steps=steps, sampler=sampler, scale=scale, rescale=rescale,
+                seed=int(seed), batch=batch, image=image, strength=strength,
+                mask=mask, blur=blur)
 
 
 def run(kind: str, cfg: dict):
-    pipe = pipeline(cfg["height"], cfg["width"])
+    pipe = pipeline(cfg["height"], cfg["width"], cfg.get("sampler", "ddim"))
     progress = st.progress(0.0)
     callback = lambda i: progress.progress(min(1.0, i / max(1, cfg["steps"])))
     kw = dict(

@@ -167,6 +167,9 @@ class _StContainer:
     def select_slider(self, label, options=None, value=None):
         return value
 
+    def selectbox(self, label, options=None, index=0):
+        return options[index]
+
     def slider(self, label, lo, hi, value=None, step=None):
         return value if value is not None else lo
 
