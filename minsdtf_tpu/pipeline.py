@@ -119,10 +119,18 @@ class StableDiffusion:
         sequence_parallel: bool = False,
         weight_dtype: Optional[str] = None,
         int8_act_scales=None,
+        prediction_type: str = "epsilon",
     ):
         self.img_height = int(img_height)
         self.img_width = int(img_width)
         self.clip_skip = int(clip_skip)
+        # prediction_type="v": v-objective checkpoints (arXiv:2202.00512; many
+        # modern SD1.5-architecture finetunes) — the sampler converts the model
+        # output to (x0, eps) per step; all schedulers work unchanged.
+        if prediction_type not in ("epsilon", "v"):
+            raise ValueError(
+                f"prediction_type must be 'epsilon' or 'v', got {prediction_type!r}")
+        self.prediction_type = prediction_type
         self.compute_dtype = compute_dtype or _default_dtype()
         self.mesh = mesh
         # weight_dtype="int8": W8A8 quantization of the UNet/ControlNet conv+dense
@@ -736,6 +744,7 @@ class StableDiffusion:
                 stochastic=stochastic,
                 lcm=is_lcm,
                 dpm=is_dpm,
+                v_prediction=self.prediction_type == "v",
                 use_controls=use_controls,
                 use_inpaint=inpaint_active,
                 with_progress=live_progress,

@@ -74,7 +74,8 @@ def rescale_noise_cfg(noise_cfg, noise_pred_text, guidance_rescale, epsilon=1e-5
     jax.jit,
     static_argnames=(
         "use_cfg", "active_tcd", "stochastic", "use_controls", "use_inpaint", "decode",
-        "with_progress", "lcm", "dpm", "sp", "latent_shape", "latent_dtype",
+        "with_progress", "lcm", "dpm", "v_prediction", "sp", "latent_shape",
+        "latent_dtype",
     ),
     donate_argnames=("latent0",),
 )
@@ -108,6 +109,10 @@ def generate(
     with_progress: bool = False,
     lcm: bool = False,
     dpm: bool = False,
+    # v-objective checkpoints (arXiv:2202.00512 §2.4: v = alpha*eps - sigma*x0):
+    # the model output is converted to (x0, eps) once per step; every scheduler
+    # branch below is objective-agnostic after that.
+    v_prediction: bool = False,
     # identity of the process-global sequence-parallel config
     # (ops.attention.sequence_parallel_key()). Not read in the body — it exists so
     # traces with different SP settings cannot collide in the jit cache.
@@ -187,9 +192,16 @@ def generate(
 
     def body(carry, step):
         latent = carry[0] if dpm else carry
-        eps = unet_eps(latent, step["t_emb"]).astype(jnp.float32)
+        out = unet_eps(latent, step["t_emb"]).astype(jnp.float32)
         lat32 = latent.astype(jnp.float32)
-        x0 = (lat32 - step["nr_t"] * eps) / step["sr_t"]
+        if v_prediction:
+            # v = sr*eps - nr*x0  =>  x0 = sr*x - nr*v ; eps = nr*x + sr*v
+            # (CFG combine/rescale above acts on raw v, the standard practice)
+            x0 = step["sr_t"] * lat32 - step["nr_t"] * out
+            eps = step["nr_t"] * lat32 + step["sr_t"] * out
+        else:
+            eps = out
+            x0 = (lat32 - step["nr_t"] * eps) / step["sr_t"]
         if dpm:
             # DPM-Solver++(2M) multistep update (scheduler.DPMSolverScheduler):
             # the carry threads the previous step's x0 prediction; w = 0 on the
