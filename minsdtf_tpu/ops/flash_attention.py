@@ -113,127 +113,14 @@ def _onepass_block_q(q_len: int, kv_len: int):
     return block
 
 
-def _onepass_kernel_int8qk(q_ref, k_ref, v_ref, o_ref, *, scale: float, d: int):
-    """One-pass attention with the QK^T contraction on the int8 MXU path.
-
-    Why: at head_dim 40 the bf16 QK^T fills only 40/128 contraction lanes — the
-    structural cap measured in r2 (~59 TF/s effective for the whole kernel). The
-    MXU processes int8 at 2x rate by packing two values per lane per cycle, so an
-    int8 QK^T halves the contraction cycles at the SAME lane fill — the one lever
-    that moves a K=40 contraction.
-
-    Accuracy (SageAttention-style, arXiv:2410.02367 pattern, reimplemented): Q is
-    quantized per-token and K per-token (kv axis); the int32 scores are exact, and
-    dequantization is the rank-1 outer product of the two scale vectors — one VPU
-    pass over the score tile. Per-token int8 (7-bit mantissa vs tile amax) is
-    comparable to bf16's 8-bit mantissa; the softmax stays fp32 and PV stays bf16.
-    """
-    q = q_ref[0]
-    k = k_ref[0]
-    v = v_ref[0]
-    qf = q.astype(jnp.float32)
-    kf = k.astype(jnp.float32)
-    qa = jnp.max(jnp.abs(qf), axis=1, keepdims=True)      # (block_q, 1)
-    ka = jnp.max(jnp.abs(kf), axis=1, keepdims=True)      # (kv, 1)
-    qsc = jnp.maximum(qa, 1e-12) * (1.0 / 127.0)
-    ksc = jnp.maximum(ka, 1e-12) * (1.0 / 127.0)
-    q8 = jnp.round(qf * (1.0 / qsc)).astype(jnp.int8)
-    k8 = jnp.round(kf * (1.0 / ksc)).astype(jnp.int8)
-    s32 = jax.lax.dot_general(
-        q8, k8, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32
-    )  # exact int32 scores
-    # dequant + scale + log2e in ONE elementwise pass: rank-1 scale outer product
-    s = s32.astype(jnp.float32) * ((qsc * (scale * LOG2E)) * ksc.reshape(1, -1))
-    m = jnp.max(s, axis=1, keepdims=True)
-    p = jnp.exp2(s - m)
-    ones = jnp.ones((v.shape[0], 1), dtype=v.dtype)
-    vl = jnp.concatenate([v, ones], axis=1)
-    pvl = jax.lax.dot_general(
-        p.astype(v.dtype), vl, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    o_ref[0] = (pvl[:, :d] / pvl[:, d:]).astype(o_ref.dtype)
-
-
-def _onepass_kernel_int8qk_hoisted(q_ref, k_ref, v_ref, qs_ref, ks_ref, o_ref, *,
-                                   scale: float, d: int):
-    """int8-QK one-pass variant with quantization HOISTED out of the kernel
-    (MINSDTF_FLASH_INT8QK=2): Q/K arrive already int8 with per-token fp32 scales.
-
-    vs the in-kernel variant (=1): (a) K is quantized ONCE per attention call in
-    XLA (fusable into the projection epilogue) instead of once per q-block on the
-    kernel's VPU; (b) the kernel never materializes fp32 copies of Q/K, cutting
-    peak VMEM by ~2 (kv, d) fp32 buffers — the in-kernel variant's overflow risk
-    at block_q 512. Same math: exact int32 scores, rank-1 scale outer product."""
-    q8 = q_ref[0]
-    k8 = k_ref[0]
-    v = v_ref[0]
-    s32 = jax.lax.dot_general(
-        q8, k8, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32
-    )
-    qsc = qs_ref[0].astype(jnp.float32)          # (block_q, 1)
-    ksc = ks_ref[0].astype(jnp.float32)          # (kv, 1)
-    s = s32.astype(jnp.float32) * ((qsc * (scale * LOG2E)) * ksc.reshape(1, -1))
-    m = jnp.max(s, axis=1, keepdims=True)
-    p = jnp.exp2(s - m)
-    ones = jnp.ones((v.shape[0], 1), dtype=v.dtype)
-    vl = jnp.concatenate([v, ones], axis=1)
-    pvl = jax.lax.dot_general(
-        p.astype(v.dtype), vl, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    o_ref[0] = (pvl[:, :d] / pvl[:, d:]).astype(o_ref.dtype)
-
-
-def _onepass_kernel_int8pv(q_ref, k_ref, v_ref, qs_ref, ks_ref, vs_ref, o_ref, *,
-                           scale: float, d: int):
-    """EXPERIMENTAL full-int8 one-pass attention (MINSDTF_FLASH_INT8QK=3): int8
-    QK^T (as variant 2) plus int8 P·V — P quantized in-kernel with the FIXED
-    scale 127 (max(P) = exp2(0) = 1 by construction), V per-channel int8 with the
-    MXU row-sum ones column appended before quantization (quantizes to exactly
-    127 at scale 1/127). The 1/127 of P cancels in the softmax division, leaving
-    one (block_q, d+1) scale multiply.
-
-    Numerics: int8 P drops probability mass below 1/254. Measured on the DIFFUSE
-    worst case (unit-normal q/k, S=4096: row sums 75-430) the output error is
-    ~6% relative — an order beyond the bf16 kernel. Opt-in for measuring the
-    all-int8 speed ceiling; NOT default-eligible without a real-weight audit."""
-    q8 = q_ref[0]
-    k8 = k_ref[0]
-    v8 = v_ref[0]                                 # (kv, d+1) int8, ones col last
-    s32 = jax.lax.dot_general(
-        q8, k8, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32
-    )
-    qsc = qs_ref[0].astype(jnp.float32)
-    ksc = ks_ref[0].astype(jnp.float32)
-    s = s32.astype(jnp.float32) * ((qsc * (scale * LOG2E)) * ksc.reshape(1, -1))
-    m = jnp.max(s, axis=1, keepdims=True)
-    p8 = jnp.round(jnp.exp2(s - m) * 127.0).astype(jnp.int8)
-    pvl32 = jax.lax.dot_general(
-        p8, v8, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
-    )
-    pvl = pvl32.astype(jnp.float32) * vs_ref[0].astype(jnp.float32)  # (bq, d+1)
-    o_ref[0] = (pvl[:, :d] / pvl[:, d:]).astype(o_ref.dtype)
-
-
-def _quantize_per_channel(x: jax.Array):
-    """Per-channel symmetric int8 over the last axis: (BH, S, D) -> int8 values +
-    (BH, 1, D) fp32 scales (constant along the contraction the consumer sums)."""
-    xf = x.astype(jnp.float32)
-    amax = jnp.max(jnp.abs(xf), axis=-2, keepdims=True)
-    sc = jnp.maximum(amax, 1e-12) * (1.0 / 127.0)
-    x8 = jnp.clip(jnp.round(xf / sc), -127, 127).astype(jnp.int8)
-    return x8, sc
-
-
-def _quantize_per_token(x: jax.Array):
-    """Per-token symmetric int8: (BH, S, D) -> int8 values + (BH, S, 1) fp32 scales.
-    Runs in XLA where it fuses with the producing projection."""
-    xf = x.astype(jnp.float32)
-    amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
-    sc = jnp.maximum(amax, 1e-12) * (1.0 / 127.0)
-    x8 = jnp.clip(jnp.round(xf / sc), -127, 127).astype(jnp.int8)
-    return x8, sc
+# int8-QK attention (SageAttention-style per-token Q/K quantization, in-kernel and
+# hoisted variants, plus a full-int8 QK+PV experiment) was built and MEASURED OUT in
+# r3: on-chip A/B at the production shape (B2 S4096 H8 D40) showed all variants
+# LOSE to the bf16 one-pass kernel (0.73 ms/call bf16 vs 0.91-1.03 int8, RTT-
+# corrected), and the long-context online path (S=16384) measured an exact 1.000x
+# tie — Mosaic does not convert the K=40 contraction's half-filled lanes into fewer
+# int8 cycles, while the quant/dequant VPU work is real. Deleted per delete-or-win;
+# numbers recorded in ROADMAP.md r3.
 
 
 def _onepass_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, d: int):
@@ -262,51 +149,6 @@ def _onepass_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, d: int):
         preferred_element_type=jnp.float32, precision=prec,
     )
     o_ref[0] = (pvl[:, :d] / pvl[:, d:]).astype(o_ref.dtype)
-
-
-def _kernel_int8qk(q_ref, k_ref, v_ref, qs_ref, ks_ref, o_ref, m_scr, l_scr,
-                   acc_scr, *, scale: float, kv_blocks: int):
-    """Online-softmax kernel with hoisted int8-QK (MINSDTF_FLASH_INT8QK, long-
-    context path: >=1024px images where kv > ONEPASS_MAX_KV). Same online (m, l,
-    acc) recurrence as ``_kernel``; the QK^T contraction runs on the int8 MXU
-    (2 values/lane/cycle — at d=40 the only lever on the 40/128 lane fill, and at
-    2048px attention dominates the whole generation). Q/K arrive pre-quantized
-    per-token with fp32 scales (see ``_quantize_per_token``)."""
-    ik = pl.program_id(2)
-
-    @pl.when(ik == 0)
-    def _init():
-        m_scr[:] = jnp.full_like(m_scr, NEG_INF)
-        l_scr[:] = jnp.zeros_like(l_scr)
-        acc_scr[:] = jnp.zeros_like(acc_scr)
-
-    q8 = q_ref[0]  # (block_q, d) int8
-    k8 = k_ref[0]  # (block_k, d) int8
-    v = v_ref[0]
-    s32 = jax.lax.dot_general(
-        q8, k8, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32
-    )
-    qsc = qs_ref[0].astype(jnp.float32)          # (block_q, 1)
-    ksc = ks_ref[0].astype(jnp.float32)          # (block_k, 1)
-    s = s32.astype(jnp.float32) * ((qsc * scale) * ksc.reshape(1, -1))
-
-    m_prev = m_scr[:]
-    m_cur = jnp.max(s, axis=1, keepdims=True)
-    m_new = jnp.maximum(m_prev, m_cur)
-    p = jnp.exp(s - m_new)
-    correction = jnp.exp(m_prev - m_new)
-    l_new = correction * l_scr[:] + jnp.sum(p, axis=1, keepdims=True)
-    pv = jax.lax.dot_general(
-        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    acc_scr[:] = acc_scr[:] * correction + pv
-    m_scr[:] = m_new
-    l_scr[:] = l_new
-
-    @pl.when(ik == kv_blocks - 1)
-    def _finalize():
-        o_ref[0] = (acc_scr[:] / l_scr[:]).astype(o_ref.dtype)
 
 
 def _kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *, scale: float, kv_blocks: int):
@@ -370,63 +212,8 @@ def flash_attention(
 
     if _use_onepass(sq, sk, d):
         block_q = _onepass_block_q(sq, sk)
-        int8qk = os.environ.get("MINSDTF_FLASH_INT8QK", "0")
-        if q.dtype != jnp.bfloat16:
-            int8qk = "0"  # fp32 parity/oracle paths never quantize
-        if int8qk == "3":
-            # experimental full-int8 (QK + PV) — see _onepass_kernel_int8pv
-            q8, qsc = _quantize_per_token(qf)
-            k8, ksc = _quantize_per_token(kf)
-            ones = jnp.ones(vf.shape[:-1] + (1,), vf.dtype)
-            v8l, vsc = _quantize_per_channel(jnp.concatenate([vf, ones], axis=-1))
-            out = pl.pallas_call(
-                functools.partial(_onepass_kernel_int8pv, scale=scale, d=d),
-                grid=(b * h, sq // block_q),
-                in_specs=[
-                    pl.BlockSpec((1, block_q, d), lambda ibh, iq: (ibh, iq, 0)),
-                    pl.BlockSpec((1, sk, d), lambda ibh, iq: (ibh, 0, 0)),
-                    pl.BlockSpec((1, sk, d + 1), lambda ibh, iq: (ibh, 0, 0)),
-                    pl.BlockSpec((1, block_q, 1), lambda ibh, iq: (ibh, iq, 0)),
-                    pl.BlockSpec((1, sk, 1), lambda ibh, iq: (ibh, 0, 0)),
-                    pl.BlockSpec((1, 1, d + 1), lambda ibh, iq: (ibh, 0, 0)),
-                ],
-                out_specs=pl.BlockSpec((1, block_q, d), lambda ibh, iq: (ibh, iq, 0)),
-                out_shape=jax.ShapeDtypeStruct((b * h, sq, d), q.dtype),
-                interpret=interpret,
-            )(q8, k8, v8l, qsc, ksc, vsc)
-            return out.reshape(b, h, sq, d).transpose(0, 2, 1, 3)
-        if int8qk == "2":
-            # hoisted quantization: XLA fuses the per-token amax/round into the
-            # QKV projection epilogue; the kernel reads int8 + scale vectors.
-            q8, qsc = _quantize_per_token(qf)
-            k8, ksc = _quantize_per_token(kf)
-            out = pl.pallas_call(
-                functools.partial(_onepass_kernel_int8qk_hoisted, scale=scale, d=d),
-                grid=(b * h, sq // block_q),
-                in_specs=[
-                    pl.BlockSpec((1, block_q, d), lambda ibh, iq: (ibh, iq, 0)),
-                    pl.BlockSpec((1, sk, d), lambda ibh, iq: (ibh, 0, 0)),
-                    pl.BlockSpec((1, sk, d), lambda ibh, iq: (ibh, 0, 0)),
-                    pl.BlockSpec((1, block_q, 1), lambda ibh, iq: (ibh, iq, 0)),
-                    pl.BlockSpec((1, sk, 1), lambda ibh, iq: (ibh, 0, 0)),
-                ],
-                out_specs=pl.BlockSpec((1, block_q, d), lambda ibh, iq: (ibh, iq, 0)),
-                out_shape=jax.ShapeDtypeStruct((b * h, sq, d), q.dtype),
-                interpret=interpret,
-            )(q8, k8, vf, qsc, ksc)
-            return out.reshape(b, h, sq, d).transpose(0, 2, 1, 3)
-        if int8qk == "1":
-            kern = _onepass_kernel_int8qk
-            # the in-kernel variant holds fp32 Q/K copies + int32 scores on top of
-            # the fp32 score/prob buffers — allow capping block_q for VMEM headroom
-            cap = int(os.environ.get("MINSDTF_INT8QK_BLOCKQ", "0"))
-            if cap:
-                while block_q > cap and sq % (block_q // 2) == 0:
-                    block_q //= 2
-        else:
-            kern = _onepass_kernel
         out = pl.pallas_call(
-            functools.partial(kern, scale=scale, d=d),
+            functools.partial(_onepass_kernel, scale=scale, d=d),
             grid=(b * h, sq // block_q),
             in_specs=[
                 pl.BlockSpec((1, block_q, d), lambda ibh, iq: (ibh, iq, 0)),
@@ -449,29 +236,6 @@ def flash_attention(
         pltpu.VMEM((block_q, 1), jnp.float32),
         pltpu.VMEM((block_q, d), jnp.float32),
     ]
-    if (os.environ.get("MINSDTF_FLASH_INT8QK", "0") != "0"
-            and q.dtype == jnp.bfloat16):
-        # long-context int8-QK: always the hoisted form (an in-kernel variant
-        # would requantize each K block once per q-block — pure VPU waste).
-        q8, qsc = _quantize_per_token(qf)
-        k8, ksc = _quantize_per_token(kf)
-        out = pl.pallas_call(
-            functools.partial(_kernel_int8qk, scale=scale, kv_blocks=kv_blocks),
-            grid=grid,
-            in_specs=[
-                pl.BlockSpec((1, block_q, d), lambda ibh, iq, ik: (ibh, iq, 0)),
-                pl.BlockSpec((1, block_k, d), lambda ibh, iq, ik: (ibh, ik, 0)),
-                pl.BlockSpec((1, block_k, d), lambda ibh, iq, ik: (ibh, ik, 0)),
-                pl.BlockSpec((1, block_q, 1), lambda ibh, iq, ik: (ibh, iq, 0)),
-                pl.BlockSpec((1, block_k, 1), lambda ibh, iq, ik: (ibh, ik, 0)),
-            ],
-            out_specs=pl.BlockSpec((1, block_q, d), lambda ibh, iq, ik: (ibh, iq, 0)),
-            out_shape=jax.ShapeDtypeStruct((b * h, sq, d), q.dtype),
-            scratch_shapes=scratch,
-            interpret=interpret,
-        )(q8, k8, vf, qsc, ksc)
-        return out.reshape(b, h, sq, d).transpose(0, 2, 1, 3)
-
     out = pl.pallas_call(
         functools.partial(_kernel, scale=scale, kv_blocks=kv_blocks),
         grid=grid,
