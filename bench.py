@@ -10,6 +10,10 @@ achieved fraction of the analytic speed-of-light for this workload on the local 
 ``value`` is the MEDIAN of repeats (typical throughput); min/max expose the measured
 ±5% tunnel jitter. Extra fields published every run (VERDICT r1 #8):
 
+  - ``bf16``: the exact-bf16 configuration's s/img, alongside the int8-hybrid
+    headline (the default headline config quantizes calibration-stable conv
+    sites to int8 with baked static scales — weights/quantize.hybridize_params;
+    BENCH_WEIGHT_DTYPE=bf16 makes bf16 the headline instead);
   - ``e2e_prompt``: full prompt -> image seconds (tokenize + LPW + CLIP + sampler),
     vs the headline which times ``generate_image`` from a precomputed context;
   - ``throughput_b8``: batch-8 s/img, the serving-throughput configuration;
@@ -116,7 +120,24 @@ def main():
 
         from minsdtf_tpu.pipeline import StableDiffusion
 
-        pipe = StableDiffusion(img_height=size, img_width=size, active_tcd=tcd)
+        # Headline config: int8_hybrid — stable-conv-site-only W8A8 with baked
+        # static activation scales (weights/quantize.hybridize_params; measured
+        # 0.4315 vs 0.4840 s/img bf16 at 512px, ROADMAP r3). The committed scales
+        # fixture was calibrated on the same seeded-random weights bench uses, so
+        # it transfers exactly. BENCH_WEIGHT_DTYPE=bf16 forces the exact-bf16
+        # config; non-512 sizes and TCD mode stay bf16 (the fixture's trajectory
+        # amax values are resolution- and schedule-specific).
+        scales_fixture = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "fixtures", "hybrid_scales_random512.npz")
+        wd = os.environ.get("BENCH_WEIGHT_DTYPE", "int8_hybrid")
+        use_hybrid = (wd == "int8_hybrid" and size == 512 and not tcd
+                      and os.path.exists(scales_fixture))
+        pipe = StableDiffusion(
+            img_height=size, img_width=size, active_tcd=tcd,
+            weight_dtype="int8_hybrid" if use_hybrid else None,
+            int8_act_scales=scales_fixture if use_hybrid else None)
+        dtype_label = "int8-hybrid" if use_hybrid else "bf16"
         rng = np.random.RandomState(0)
         encoded = rng.normal(0, 1, (77, 768)).astype(np.float32)
 
@@ -132,6 +153,12 @@ def main():
 
         if extras:  # noqa: C901 — each extra is best-effort; see the guard below
           try:  # an extras failure must never cost the headline JSON line
+            if use_hybrid:
+                # exact-bf16 reference configuration alongside the int8 headline
+                bf16_pipe = StableDiffusion(img_height=size, img_width=size)
+                tb = _time_runs(jax, lambda s: run(s, p=bf16_pipe), 3, (1,),
+                                [(2,), (3,), (4,), (5,)])
+                result_extra["bf16"] = round(float(np.median(tb)), 4)
             # batch-8 serving throughput (same program, batched); 3 kept reps
             t8 = _time_runs(jax, lambda s: run(s, b=8), 3, (1,), [(2,), (3,), (4,), (5,)])
             result_extra["throughput_b8"] = round(float(np.median(t8)) / 8, 4)
@@ -239,7 +266,7 @@ def main():
     ideal = flops_per_image(size, size, steps, 1) / peak_flops()
     kind = "TCD txt2img" if tcd else "txt2img"
     result = {
-        "metric": f"SD1.5 {size}x{size} {steps}-step {kind} (CFG 7.5, bf16, 1 chip)",
+        "metric": f"SD1.5 {size}x{size} {steps}-step {kind} (CFG 7.5, {dtype_label}, 1 chip)",
         "value": round(sec_per_image, 4),
         "unit": "s/img",
         "vs_baseline": round(ideal / sec_per_image, 4),

@@ -136,9 +136,14 @@ class StableDiffusion:
         # weight_dtype="int8": W8A8 quantization of the UNet/ControlNet conv+dense
         # kernels (weights/quantize.py) — 2x MXU peak on the serving path. The text
         # encoder and VAE stay in compute_dtype (tiny / quality-critical shares).
-        if weight_dtype not in (None, "int8"):
-            raise ValueError(f"weight_dtype must be None or 'int8', got {weight_dtype!r}")
-        if weight_dtype == "int8" and mesh is not None:
+        # weight_dtype="int8_hybrid": int8 ONLY on calibration-stable conv sites
+        # with baked static scales (zero dynamic amax reduces); everything else
+        # bf16 (weights/quantize.hybridize_params). Requires int8_act_scales or a
+        # calibrate_int8() call before generating.
+        if weight_dtype not in (None, "int8", "int8_hybrid"):
+            raise ValueError(
+                f"weight_dtype must be None, 'int8' or 'int8_hybrid', got {weight_dtype!r}")
+        if weight_dtype is not None and mesh is not None:
             raise ValueError(
                 "weight_dtype='int8' is single-device only for now (the TP sharding "
                 "rules operate on float kernels)"
@@ -297,6 +302,12 @@ class StableDiffusion:
                     from minsdtf_tpu.weights import calibrate as _cal
 
                     params = _cal.bake_act_scales(params, self._int8_act_scales)
+            elif self.weight_dtype == "int8_hybrid" and self._int8_act_scales:
+                from minsdtf_tpu.weights import quantize
+
+                # stable-conv-site-only int8 from the fp32 originals; without
+                # scales the params stay float until calibrate_int8() runs
+                params = quantize.hybridize_params(params, self._int8_act_scales)
             self._unet_params = self._shard(self._cast(params))
         return self._unet_params
 
@@ -783,9 +794,15 @@ class StableDiffusion:
         time) with fused clipped rounds. Returns the {site: amax} dict; pass it
         (or ``save_path``) to ``StableDiffusion(int8_act_scales=...)`` to skip
         recalibration in later processes. Triggers one sampler recompile (the
-        quantization graph changes)."""
-        if self.weight_dtype != "int8":
-            raise ValueError("calibrate_int8 requires weight_dtype='int8'")
+        quantization graph changes).
+
+        Under ``weight_dtype="int8_hybrid"`` the calibration trajectory runs on a
+        TEMPORARY conv-only dynamically-quantized copy; the live params then
+        become the hybrid form (stable conv sites int8+static scale, everything
+        else float — weights/quantize.hybridize_params)."""
+        if self.weight_dtype not in ("int8", "int8_hybrid"):
+            raise ValueError(
+                "calibrate_int8 requires weight_dtype='int8' or 'int8_hybrid'")
         from minsdtf_tpu.weights import calibrate as _cal
 
         h8, w8 = self.img_height // 8, self.img_width // 8
@@ -799,11 +816,19 @@ class StableDiffusion:
             k: np.asarray(getattr(schedule, k), np.float32)
             for k in ("sr_t", "nr_t", "sr_prev", "nr_prev", "is_last")
         }
+        calib_params = self.unet_params
+        if self.weight_dtype == "int8_hybrid":
+            from minsdtf_tpu.weights import quantize as _q
+
+            # temporary fully-dynamic conv-only quantization: the tape only
+            # records sites that actually quantize, so the calibration copy must
+            # carry kernel_q at every candidate conv site
+            calib_params = _q.quantize_params(self.unet_params, conv_only=True)
         amax: dict = {}
         for seed in seeds:
             latent0 = rng_lib.stateless_normal((1, h8, w8, 4), seed).astype(np.float32)
             got = _cal.collect_unet_amax(
-                self.unet_params,
+                calib_params,
                 jnp.asarray(latent0, self.compute_dtype),
                 context,
                 uncond,
@@ -822,9 +847,15 @@ class StableDiffusion:
                     amin = min(cur["amax"] / cur["ratio"], v["amax"] / v["ratio"])
                     cur["amax"] = max(cur["amax"], v["amax"])
                     cur["ratio"] = cur["amax"] / max(amin, 1e-9)
-        self._unet_params = _cal.bake_act_scales(
-            self.unet_params, amax, margin=margin, include_dense=include_dense
-        )
+        if self.weight_dtype == "int8_hybrid":
+            from minsdtf_tpu.weights import quantize as _q
+
+            self._unet_params = _q.hybridize_params(
+                self.unet_params, amax, margin=margin)
+        else:
+            self._unet_params = _cal.bake_act_scales(
+                self.unet_params, amax, margin=margin, include_dense=include_dense
+            )
         if save_path:
             _cal.save_scales(save_path, amax)
         return amax

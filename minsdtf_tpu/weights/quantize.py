@@ -77,10 +77,16 @@ def quantize_params(
     params: dict,
     skip_suffixes: Iterable[str] = DEFAULT_SKIP_SUFFIXES,
     min_k: int = DEFAULT_MIN_K,
+    conv_only: bool = False,
 ) -> dict:
-    """Quantize every eligible conv/dense module of a flat param dict."""
+    """Quantize every eligible conv/dense module of a flat param dict.
+    ``conv_only`` skips dense (2-D) kernels — the calibration pass for the
+    "int8_hybrid" mode only needs conv-site statistics."""
     out = {}
     for name, leaves in params.items():
+        if conv_only and "kernel" in leaves and np.asarray(leaves["kernel"]).ndim == 2:
+            out[name] = leaves
+            continue
         if should_quantize(name, leaves, skip_suffixes, min_k):
             q, scale = quantize_kernel(leaves["kernel"])
             new = {k: v for k, v in leaves.items() if k != "kernel"}
@@ -95,3 +101,55 @@ def quantize_params(
 def dequantize_kernel(leaves: dict) -> np.ndarray:
     """Reconstruct the float kernel (tests / debugging)."""
     return np.asarray(leaves["kernel_q"], np.float32) * np.asarray(leaves["kernel_scale"])
+
+
+def hybridize_params(
+    params: dict,
+    scales: dict,
+    margin: float = 1.05,
+    stability_threshold: float = 1.5,
+    skip_suffixes: Iterable[str] = DEFAULT_SKIP_SUFFIXES,
+    min_k: int = DEFAULT_MIN_K,
+) -> dict:
+    """Stable-site-only W8A8 ("int8_hybrid"): quantize ONLY the conv modules whose
+    calibrated activation amax is stable across the denoising trajectory.
+
+    Why (r3 measurements, ROADMAP): full int8 wins the conv bucket (142 ms vs 227
+    bf16-blocked) but hands the win back in dynamic-quant overhead (~54 ms amax
+    reduces + ~14 ms rounding + ~28 ms int8 data formatting). The overhead lives
+    almost entirely at the DYNAMIC sites: dense layers need per-token scale grids,
+    and the conv_shortcut/downsampler convs see the un-normalized residual stream
+    (across-step amax swings 4-6x). GN+SiLU-fed convs swing only ~1.13x — a baked
+    static scale costs them nothing. So: those convs run int8 with a fused clipped
+    round (zero reduces), everything else keeps the float kernel and the
+    bf16-blocked conv path.
+
+    ``scales`` is the {site: {"amax", "ratio"}} dict from
+    :func:`minsdtf_tpu.weights.calibrate.collect_unet_amax` (or its .npz via
+    ``load_scales``). Sites absent from ``scales``, dense kernels, skip-listed or
+    shallow-K modules, and sites with ``ratio > stability_threshold`` all stay
+    float."""
+    out = {}
+    for name, leaves in params.items():
+        stats = scales.get(name)
+        eligible = (
+            stats is not None
+            and should_quantize(name, leaves, skip_suffixes, min_k)
+            and np.asarray(leaves["kernel"]).ndim == 4
+        )
+        if eligible:
+            if isinstance(stats, dict):
+                amax, ratio = stats["amax"], stats.get("ratio", 1.0)
+            else:
+                amax, ratio = float(stats), 1.0
+            eligible = ratio <= stability_threshold
+        if not eligible:
+            out[name] = leaves
+            continue
+        q, scale = quantize_kernel(leaves["kernel"])
+        new = {k: v for k, v in leaves.items() if k != "kernel"}
+        new["kernel_q"] = jnp.asarray(q)
+        new["kernel_scale"] = jnp.asarray(scale)
+        new["act_scale"] = jnp.float32(max(amax, 1e-12) * margin / 127.0)
+        out[name] = new
+    return out

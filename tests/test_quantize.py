@@ -216,3 +216,50 @@ def test_pipeline_weight_dtype_validation():
 
     with pytest.raises(ValueError):
         StableDiffusion(weight_dtype="fp4")
+
+
+def test_hybridize_params_stable_sites_only():
+    """weight_dtype="int8_hybrid" (weights/quantize.hybridize_params): int8 ONLY
+    at calibration-stable conv sites, with a static act_scale baked at every
+    quantized site (the whole point is zero dynamic amax reduces); dense kernels,
+    unstable convs and skip-listed modules keep their float kernels."""
+    from minsdtf_tpu import scheduler as sched_lib
+    from minsdtf_tpu.weights import calibrate
+
+    widths = (32, 64, 128, 128)
+    params = unet_lib.init_params(jax.random.PRNGKey(3), widths=widths)
+    qparams = quantize.quantize_params(params, min_k=64, conv_only=True)
+    # conv_only: no dense module carries kernel_q even above min_k
+    dense_site = "mid_block.attentions.0.transformer_blocks.0.attn1.to_q"
+    assert "kernel_q" not in qparams[dense_site]
+
+    rs = np.random.RandomState(6)
+    latent0 = rs.normal(0, 1, (1, 8, 8, 4)).astype(np.float32)
+    context = rs.normal(0, 1, (1, 77, 768)).astype(np.float32)
+    schedule = sched_lib.build_denoise_schedule(sched_lib.Scheduler(), 3, eta=0.3)
+    t_embs = sched_lib.timestep_embedding(schedule.timesteps, dim=widths[0])
+    rows = {k: np.asarray(getattr(schedule, k), np.float32)
+            for k in ("sr_t", "nr_t", "sr_prev", "nr_prev", "is_last")}
+    amax = calibrate.collect_unet_amax(
+        qparams, jnp.asarray(latent0), context, context, t_embs, rows)
+
+    hybrid = quantize.hybridize_params(params, amax, min_k=64)
+    # every quantized site is static — the invariant the mode exists for
+    for name, leaves in hybrid.items():
+        if "kernel_q" in leaves:
+            assert "act_scale" in leaves, name
+            assert leaves["kernel_q"].ndim == 4, name  # convs only
+    assert "kernel_q" in hybrid["mid_block.resnets.0.conv1"]      # GN-fed: stable
+    assert "kernel" in hybrid[dense_site]                         # dense: float
+    # the un-normalized-residual conv_shortcut fails the stability gate -> float
+    assert amax["up_blocks.3.resnets.2.conv_shortcut"]["ratio"] > 1.5
+    assert "kernel" in hybrid["up_blocks.3.resnets.2.conv_shortcut"]
+
+    # numeric sanity vs fp32: hybrid quantizes a subset of the full-int8 sites,
+    # so its error must not exceed the full-dynamic configuration's class
+    te = np.broadcast_to(t_embs[0][None], (1, t_embs.shape[1])).astype(np.float32)
+    fp32 = jax.jit(unet_lib.apply)(params, latent0, te, context)
+    err_hybrid = _rel_err(jax.jit(unet_lib.apply)(hybrid, latent0, te, context), fp32)
+    full_dyn = quantize.quantize_params(params, min_k=64)
+    err_dyn = _rel_err(jax.jit(unet_lib.apply)(full_dyn, latent0, te, context), fp32)
+    assert err_hybrid < max(1.5 * err_dyn, err_dyn + 0.02), (err_hybrid, err_dyn)
