@@ -18,7 +18,7 @@ except ImportError as e:  # pragma: no cover
 from minsdtf_tpu.apps import common
 
 
-SAMPLERS = ["ddim", "dpm", "dpm_karras", "tcd", "lcm"]
+SAMPLERS = ["ddim", "dpm", "dpm_karras", "euler_a", "tcd", "lcm"]
 
 
 @st.cache_resource

@@ -185,9 +185,15 @@ class StableDiffusion:
         elif scheduler_type == "dpm_karras":
             # the community-standard "DPM++ 2M Karras" spacing (arXiv:2206.00364)
             self.scheduler = sched_lib.DPMSolverScheduler(karras_sigmas=True)
+        elif scheduler_type == "euler_a":
+            # Euler-Ancestral, the community "Euler a" (beyond reference)
+            self.scheduler = sched_lib.EulerAncestralScheduler()
         elif scheduler_type == "tcd":
             self.scheduler = sched_lib.Scheduler(active_tcd=True)
-        elif scheduler_type == "ddim":
+        elif scheduler_type in ("ddim", "euler"):
+            # "euler" is an exact alias: on the VP eps-prediction parametrization
+            # the (non-ancestral) Euler update algebraically equals DDIM
+            # (scheduler.EulerAncestralScheduler docstring)
             self.scheduler = sched_lib.Scheduler(active_tcd=False)
         else:
             raise ValueError(f"unknown scheduler_type: {scheduler_type!r}")
@@ -716,10 +722,11 @@ class StableDiffusion:
 
         is_lcm = schedule.mode == "lcm"
         is_dpm = schedule.mode == "dpm"
+        is_euler_a = schedule.mode == "euler_a"
         stochastic = schedule.active_tcd and not is_lcm and eta > 0.0
         noise_key = (
             jax.random.fold_in(jax.random.PRNGKey(key_seed), 1)
-            if (is_lcm or stochastic) else None
+            if (is_lcm or stochastic or is_euler_a) else None
         )
         inpaint_active = use_inpaint and init_latent is not None
         live_progress = callback is not None and _host_callbacks_supported()
@@ -755,6 +762,7 @@ class StableDiffusion:
                 stochastic=stochastic,
                 lcm=is_lcm,
                 dpm=is_dpm,
+                euler_a=is_euler_a,
                 v_prediction=self.prediction_type == "v",
                 use_controls=use_controls,
                 use_inpaint=inpaint_active,

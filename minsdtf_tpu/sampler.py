@@ -74,7 +74,7 @@ def rescale_noise_cfg(noise_cfg, noise_pred_text, guidance_rescale, epsilon=1e-5
     jax.jit,
     static_argnames=(
         "use_cfg", "active_tcd", "stochastic", "use_controls", "use_inpaint", "decode",
-        "with_progress", "lcm", "dpm", "v_prediction", "sp", "latent_shape",
+        "with_progress", "lcm", "dpm", "euler_a", "v_prediction", "sp", "latent_shape",
         "latent_dtype",
     ),
     donate_argnames=("latent0",),
@@ -109,6 +109,7 @@ def generate(
     with_progress: bool = False,
     lcm: bool = False,
     dpm: bool = False,
+    euler_a: bool = False,
     # v-objective checkpoints (arXiv:2202.00512 §2.4: v = alpha*eps - sigma*x0):
     # the model output is converted to (x0, eps) once per step; every scheduler
     # branch below is objective-agnostic after that.
@@ -218,6 +219,15 @@ def generate(
             )
             renoised = step["sr_prev"] * denoised + step["nr_prev"] * z
             new = jnp.where(step["is_last"] > 0, denoised, renoised)
+        elif euler_a:
+            # Euler-Ancestral (scheduler.EulerAncestralScheduler): deterministic
+            # part c_x*x + c_d*eps plus the ancestral sigma_up noise; final step
+            # returns pred_x0.
+            z = jax.random.normal(
+                jax.random.fold_in(noise_key, step["idx"]), lat32.shape, jnp.float32
+            )
+            stepped = step["c_x"] * lat32 + step["c_d"] * eps + step["c_noise"] * z
+            new = jnp.where(step["is_last"] > 0, x0, stepped)
         elif active_tcd:
             denoised = step["sr_s"] * x0 + step["nr_s"] * eps
             if stochastic:

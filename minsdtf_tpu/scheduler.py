@@ -413,6 +413,76 @@ class DPMSolverScheduler(Scheduler):
         return out
 
 
+class EulerAncestralScheduler(Scheduler):
+    """Euler-Ancestral sampler (beyond reference) — the community "Euler a".
+
+    k-diffusion's ancestral Euler step (Karras et al. arXiv:2206.00364 Alg. 2 +
+    the ancestral noise split popularized by k-diffusion/A1111), mapped onto this
+    pipeline's VP (signal/noise-rate) latent convention. With
+    ``sigma(t) = noise_rate/signal_rate`` and the k-space latent ``x_k = x / sr``:
+
+        sigma_up^2 = sig_prev^2 * (sig_t^2 - sig_prev^2) / sig_t^2
+        sigma_down = sqrt(sig_prev^2 - sigma_up^2)
+        x_k'       = x_k + (sigma_down - sig_t) * eps + sigma_up * z
+
+    which in VP coordinates is the row form the scan consumes:
+
+        x' = c_x * x + c_d * eps + c_noise * z,
+        c_x = sr_prev / sr_t,  c_d = sr_prev * (sigma_down - sig_t),
+        c_noise = sr_prev * sigma_up
+
+    (exact-denoiser check: (c_x * nr_t + c_d)^2 + c_noise^2 == nr_prev^2 — the
+    marginal noise variance is preserved; pinned in tests). The final step
+    returns pred_x0.
+
+    NOTE plain (non-ancestral) "euler" needs no implementation: on the VP
+    eps-prediction parametrization Euler's update algebraically EQUALS the DDIM
+    update (coefficient of eps: sr_prev*(sig_prev - sig_t) == nr_prev -
+    sr_prev*nr_t/sr_t), so ``scheduler_type="euler"`` aliases the DDIM scheduler.
+    """
+
+    def __init__(self, *args, **kwargs):
+        kwargs["active_tcd"] = False
+        super().__init__(*args, **kwargs)
+        self.mode = "euler_a"
+
+    def _sigma(self, t: int) -> float:
+        return float(self.noise_rates[t] / self.signal_rates[t])
+
+    def step(self, latent: np.ndarray, timestep: int, latent_prev: np.ndarray,
+             eta: float = 0.3, noise: Optional[np.ndarray] = None):
+        """Reference step convention: ``latent`` is the MODEL OUTPUT (eps),
+        ``latent_prev`` the current latent x. ``eta`` accepted for interface
+        parity and ignored (the ancestral split fixes the noise level).
+        ``noise`` overrides the drawn z (tests)."""
+        if self.num_inference_steps is None:
+            raise ValueError("Call `set_timesteps` before `step`.")
+        if self.step_index is None:
+            self._init_step_index(timestep)
+        i = self.step_index
+        is_last = i == self.num_inference_steps - 1
+
+        sr_t = self.signal_rates[timestep]
+        nr_t = self.noise_rates[timestep]
+        x0 = (latent_prev - nr_t * latent) / sr_t
+        if is_last:
+            out = x0
+        else:
+            prev_t = int(self.timesteps[i + 1])
+            sig_t, sig_p = self._sigma(timestep), self._sigma(prev_t)
+            sig_up2 = sig_p**2 * (sig_t**2 - sig_p**2) / sig_t**2
+            sig_up = np.sqrt(max(0.0, sig_up2))
+            sig_down = np.sqrt(max(0.0, sig_p**2 - sig_up2))
+            sr_prev = self.signal_rates[prev_t]
+            z = (noise if noise is not None
+                 else np.random.randn(*latent.shape).astype(np.float32))
+            out = ((sr_prev / sr_t) * latent_prev
+                   + sr_prev * (sig_down - sig_t) * latent
+                   + sr_prev * sig_up * z)
+        self._step_index += 1
+        return out
+
+
 @dataclasses.dataclass(frozen=True)
 class DenoiseSchedule:
     """Per-step coefficients, stacked for consumption by the jitted ``lax.scan``.
@@ -515,7 +585,15 @@ def build_denoise_schedule(
         rows["sr_s"].append(np.sqrt(a_s))
         rows["nr_s"].append(np.sqrt(1.0 - a_s))
         rows["c_denoised"].append(np.sqrt(a_prev / a_s))
-        rows["c_noise"].append(np.sqrt(max(0.0, 1.0 - a_prev / a_s)))
+        if mode == "euler_a" and not is_last:
+            # ancestral split (EulerAncestralScheduler): c_noise carries
+            # sr_prev * sigma_up; c_x/c_d below carry the deterministic part
+            sig_t = float(np.sqrt((1.0 - a_t) / a_t))
+            sig_p = float(np.sqrt((1.0 - a_prev) / a_prev))
+            sig_up2 = sig_p**2 * (sig_t**2 - sig_p**2) / sig_t**2
+            rows["c_noise"].append(float(np.sqrt(a_prev) * np.sqrt(max(0.0, sig_up2))))
+        else:
+            rows["c_noise"].append(np.sqrt(max(0.0, 1.0 - a_prev / a_s)))
         if mode == "lcm":
             c_skip, c_out = scheduler.boundary_scalings(t)
             rows["c_skip"].append(float(c_skip))
@@ -540,6 +618,18 @@ def build_denoise_schedule(
                 rows["c_d"].append(float(np.sqrt(a_prev) * (1.0 - np.exp(-h))))
                 rows["w"].append(0.0 if prev_h is None else h / (2.0 * prev_h))
                 prev_h = h
+        elif mode == "euler_a":
+            if is_last:
+                rows["c_x"].append(0.0)   # is_last selects x0 in the scan body
+                rows["c_d"].append(0.0)
+            else:
+                sig_t = float(np.sqrt((1.0 - a_t) / a_t))
+                sig_p = float(np.sqrt((1.0 - a_prev) / a_prev))
+                sig_up2 = sig_p**2 * (sig_t**2 - sig_p**2) / sig_t**2
+                sig_down = float(np.sqrt(max(0.0, sig_p**2 - sig_up2)))
+                rows["c_x"].append(float(np.sqrt(a_prev / a_t)))
+                rows["c_d"].append(float(np.sqrt(a_prev) * (sig_down - sig_t)))
+            rows["w"].append(0.0)
         else:
             rows["c_x"].append(0.0)
             rows["c_d"].append(0.0)

@@ -216,8 +216,12 @@ def main(argv=None):
     ap.add_argument("--depth", type=int, default=2)
     ap.add_argument("--bpe", default=None, help="CLIP merges file (for `prompt` requests)")
     ap.add_argument("--int8", action="store_true", help="serve with W8A8 weights")
+    ap.add_argument("--int8-hybrid", default=None, metavar="SCALES_NPZ",
+                    help="serve with stable-site-only int8 (weights/quantize.\n"
+                         "hybridize_params); pass the calibrated act-scale .npz "
+                         "from StableDiffusion.calibrate_int8(save_path=...)")
     ap.add_argument("--scheduler", default=None,
-                    choices=["ddim", "tcd", "lcm", "dpm", "dpm_karras"],
+                    choices=["ddim", "euler", "euler_a", "tcd", "lcm", "dpm", "dpm_karras"],
                     help="sampler (dpm = DPM-Solver++(2M), ~15 steps for "
                          "DDIM-25 quality)")
     ap.add_argument("--unet", default=None)
@@ -230,7 +234,8 @@ def main(argv=None):
     pipe = StableDiffusion(
         img_height=args.size, img_width=args.size, bpe_path=args.bpe,
         unet_ckpt=args.unet, text_encoder_ckpt=args.text_encoder, vae_ckpt=args.vae,
-        weight_dtype="int8" if args.int8 else None,
+        weight_dtype="int8_hybrid" if args.int8_hybrid else ("int8" if args.int8 else None),
+        int8_act_scales=args.int8_hybrid,
         scheduler_type=args.scheduler,
     )
     server, worker = serve(pipe, args.host, args.port, args.depth)

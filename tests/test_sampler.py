@@ -414,3 +414,47 @@ def test_v_prediction_equivalent_to_epsilon(unet_params):
     )
     np.testing.assert_allclose(np.asarray(got, np.float32), want,
                                rtol=2e-4, atol=2e-4)
+
+
+def test_scan_matches_host_loop_euler_a(unet_params):
+    """Euler-Ancestral branch: scan equals an explicit loop replaying the SAME
+    fold_in noise stream (ancestral sigma_up noise compared exactly)."""
+    rng = np.random.RandomState(12)
+    sched = sched_lib.EulerAncestralScheduler()
+    schedule = sched_lib.build_denoise_schedule(sched, 4)
+    t_embs = sched_lib.timestep_embedding(schedule.timesteps, dim=SMALL["widths"][0])
+    latent0 = rng.normal(0, 1, (B, H, W, 4)).astype(np.float32)
+    context = rng.normal(0, 1, (B, 77, 768)).astype(np.float32)
+    uncond = rng.normal(0, 1, (B, 77, 768)).astype(np.float32)
+    key = jax.random.PRNGKey(4)
+    scale = 2.0
+
+    apply = jax.jit(unet_lib.apply)
+    latent = latent0.copy()
+    for i in range(schedule.num_steps):
+        t_emb = np.repeat(t_embs[i][None], B, axis=0)
+        e_u = np.asarray(apply(unet_params, latent, t_emb, uncond), np.float32)
+        e_c = np.asarray(apply(unet_params, latent, t_emb, context), np.float32)
+        eps = e_u + scale * (e_c - e_u)
+        x0 = (latent - schedule.nr_t[i] * eps) / schedule.sr_t[i]
+        if schedule.is_last[i]:
+            latent = x0.astype(np.float32)
+        else:
+            z = np.asarray(jax.random.normal(
+                jax.random.fold_in(key, np.uint32(i)), latent.shape, jnp.float32))
+            latent = (schedule.c_x[i] * latent + schedule.c_d[i] * eps
+                      + schedule.c_noise[i] * z).astype(np.float32)
+
+    rows = {k: getattr(schedule, k) for k in (
+        "sr_t", "nr_t", "sr_prev", "nr_prev", "sr_s", "nr_s",
+        "c_denoised", "c_noise", "c_x", "c_d", "is_last")}
+    _, got = sampler.generate(
+        unet_params, None,
+        jnp.asarray(latent0), jnp.asarray(context), jnp.asarray(uncond),
+        jnp.asarray(t_embs), rows,
+        jnp.float32(scale), jnp.float32(0.0),
+        noise_key=key,
+        use_cfg=True, active_tcd=False, stochastic=False, euler_a=True,
+        use_controls=False, use_inpaint=False, decode=False,
+    )
+    np.testing.assert_allclose(np.asarray(got), latent, rtol=2e-4, atol=2e-4)

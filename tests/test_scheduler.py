@@ -425,3 +425,66 @@ def test_dpm_img2img_truncation_first_order_restart():
     np.testing.assert_allclose(trunc.w[1:], full.w[10 - k + 1:], rtol=1e-12)
     np.testing.assert_allclose(trunc.c_x, full.c_x[10 - k:], rtol=1e-12)
     np.testing.assert_allclose(trunc.c_d, full.c_d[10 - k:], rtol=1e-12)
+
+
+def test_euler_a_variance_identity():
+    """Euler-Ancestral rows preserve the VP marginal: for an exact denoiser
+    (x = sr_t x0 + nr_t eps), the stepped latent must carry signal sr_prev and
+    total noise std nr_prev — i.e. c_x*sr_t == sr_prev and
+    (c_x*nr_t + c_d)^2 + c_noise^2 == nr_prev^2 on every non-final row."""
+    dev = sch.build_denoise_schedule(sch.EulerAncestralScheduler(), num_steps=8)
+    assert dev.mode == "euler_a"
+    live = dev.is_last < 1.0
+    np.testing.assert_allclose(
+        dev.c_x[live] * dev.sr_t[live], dev.sr_prev[live], rtol=1e-5)
+    np.testing.assert_allclose(
+        (dev.c_x[live] * dev.nr_t[live] + dev.c_d[live]) ** 2
+        + dev.c_noise[live] ** 2,
+        dev.nr_prev[live] ** 2, rtol=1e-4)
+    # sigma_up is strictly positive between steps (it IS the ancestral part)
+    assert (dev.c_noise[live] > 0).all()
+
+
+def test_euler_a_denoise_schedule_matches_host_step():
+    """Stacked Euler-a rows reproduce EulerAncestralScheduler.step with the SAME
+    noise realization injected on both sides."""
+    rng = np.random.RandomState(3)
+    n = 6
+    shape = (1, 4, 4, 4)
+    host = sch.EulerAncestralScheduler()
+    dev = sch.build_denoise_schedule(sch.EulerAncestralScheduler(), num_steps=n)
+    host.set_timesteps(n)
+    np.testing.assert_array_equal(dev.timesteps, host.timesteps)
+
+    latent = rng.randn(*shape).astype(np.float32)
+    for i in range(dev.num_steps):
+        eps = rng.randn(*shape).astype(np.float32)
+        z = rng.randn(*shape).astype(np.float32)
+        want = host.step(eps, int(dev.timesteps[i]), latent, noise=z)
+        x0 = (latent - dev.nr_t[i] * eps) / dev.sr_t[i]
+        if dev.is_last[i]:
+            got = x0
+        else:
+            got = dev.c_x[i] * latent + dev.c_d[i] * eps + dev.c_noise[i] * z
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+        latent = want.astype(np.float32)
+
+
+def test_euler_alias_is_exact_ddim():
+    """scheduler_type="euler" aliases DDIM: on the VP eps parametrization the
+    non-ancestral Euler update EQUALS the DDIM update algebraically —
+    sr_prev*(sigma_prev - sigma_t) == nr_prev - sr_prev*nr_t/sr_t. Verify the
+    identity on real schedule rows (the reason no separate sampler exists)."""
+    dev = sch.build_denoise_schedule(sch.Scheduler(active_tcd=False), num_steps=25)
+    live = dev.is_last < 1.0
+    sig_t = dev.nr_t / dev.sr_t
+    sig_p = dev.nr_prev / dev.sr_prev
+    euler_eps_coeff = dev.sr_prev * (sig_p - sig_t)
+    ddim_eps_coeff = dev.nr_prev - dev.sr_prev * dev.nr_t / dev.sr_t
+    np.testing.assert_allclose(
+        euler_eps_coeff[live], ddim_eps_coeff[live], rtol=1e-5)
+    from minsdtf_tpu.pipeline import StableDiffusion
+
+    pipe = StableDiffusion(scheduler_type="euler")
+    assert pipe.scheduler.active_tcd is False
+    assert getattr(pipe.scheduler, "mode", "") == ""
