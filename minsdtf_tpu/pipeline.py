@@ -312,8 +312,13 @@ class StableDiffusion:
                 from minsdtf_tpu.weights import quantize
 
                 # stable-conv-site-only int8 from the fp32 originals; without
-                # scales the params stay float until calibrate_int8() runs
-                params = quantize.hybridize_params(params, self._int8_act_scales)
+                # scales the params stay float until calibrate_int8() runs.
+                # MINSDTF_HYBRID_DENSE=1 additionally runs the dense sites W8A8
+                # with dynamic per-token scales (A/B knob, see quantize.py).
+                params = quantize.hybridize_params(
+                    params, self._int8_act_scales,
+                    dense_dynamic=os.environ.get("MINSDTF_HYBRID_DENSE", "0") == "1",
+                )
             self._unet_params = self._shard(self._cast(params))
         return self._unet_params
 
@@ -859,7 +864,9 @@ class StableDiffusion:
             from minsdtf_tpu.weights import quantize as _q
 
             self._unet_params = _q.hybridize_params(
-                self.unet_params, amax, margin=margin)
+                self.unet_params, amax, margin=margin,
+                dense_dynamic=os.environ.get("MINSDTF_HYBRID_DENSE", "0") == "1",
+            )
         else:
             self._unet_params = _cal.bake_act_scales(
                 self.unet_params, amax, margin=margin, include_dense=include_dense

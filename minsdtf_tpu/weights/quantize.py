@@ -110,6 +110,7 @@ def hybridize_params(
     stability_threshold: float = 1.5,
     skip_suffixes: Iterable[str] = DEFAULT_SKIP_SUFFIXES,
     min_k: int = DEFAULT_MIN_K,
+    dense_dynamic: bool = False,
 ) -> dict:
     """Stable-site-only W8A8 ("int8_hybrid"): quantize ONLY the conv modules whose
     calibrated activation amax is stable across the denoising trajectory.
@@ -128,9 +129,28 @@ def hybridize_params(
     :func:`minsdtf_tpu.weights.calibrate.collect_unet_amax` (or its .npz via
     ``load_scales``). Sites absent from ``scales``, dense kernels, skip-listed or
     shallow-K modules, and sites with ``ratio > stability_threshold`` all stay
-    float."""
+    float.
+
+    ``dense_dynamic=True`` additionally quantizes the eligible DENSE (2-D)
+    kernels with per-token dynamic activation scales (no ``act_scale`` leaf —
+    ops/basic.dense computes the last-axis amax live). Dense can't take static
+    scales (collapsing the per-token grid measured ~16% rel err), but its
+    dynamic amax is a cheap row reduce over the contraction axis, unlike the
+    conv sites' global (H, W, C) reduce that made full-int8 lose."""
     out = {}
     for name, leaves in params.items():
+        if (
+            dense_dynamic
+            and "kernel" in leaves
+            and getattr(leaves["kernel"], "ndim", 0) == 2
+            and should_quantize(name, leaves, skip_suffixes, min_k)
+        ):
+            q, scale = quantize_kernel(leaves["kernel"])
+            new = {k: v for k, v in leaves.items() if k != "kernel"}
+            new["kernel_q"] = jnp.asarray(q)
+            new["kernel_scale"] = jnp.asarray(scale)
+            out[name] = new
+            continue
         stats = scales.get(name)
         eligible = (
             stats is not None

@@ -263,3 +263,31 @@ def test_hybridize_params_stable_sites_only():
     full_dyn = quantize.quantize_params(params, min_k=64)
     err_dyn = _rel_err(jax.jit(unet_lib.apply)(full_dyn, latent0, te, context), fp32)
     assert err_hybrid < max(1.5 * err_dyn, err_dyn + 0.02), (err_hybrid, err_dyn)
+
+
+def test_hybridize_params_dense_dynamic():
+    """hybridize_params(dense_dynamic=True): eligible dense kernels additionally
+    run W8A8 with DYNAMIC per-token scales (no act_scale leaf — ops/basic.dense
+    computes the last-axis amax live); skip-listed dense stays float; error vs
+    fp32 stays in the full-dynamic class (the dense sites are a subset of it)."""
+    widths = (32, 64, 128, 128)
+    params = unet_lib.init_params(jax.random.PRNGKey(3), widths=widths)
+    hybrid = quantize.hybridize_params(params, {}, min_k=64, dense_dynamic=True)
+
+    dense_site = "mid_block.attentions.0.transformer_blocks.0.attn1.to_q"
+    assert hybrid[dense_site]["kernel_q"].ndim == 2
+    assert "act_scale" not in hybrid[dense_site]          # dynamic, not baked
+    assert "kernel" in hybrid["time_embedding.linear_1"]  # skip list holds
+    for leaves in hybrid.values():                        # no conv quantized
+        if "kernel_q" in leaves:
+            assert leaves["kernel_q"].ndim == 2
+
+    rs = np.random.RandomState(9)
+    latent = rs.normal(0, 1, (1, 8, 8, 4)).astype(np.float32)
+    context = rs.normal(0, 1, (1, 77, 768)).astype(np.float32)
+    t_emb = rs.normal(0, 1, (1, widths[0])).astype(np.float32)
+    fp32 = jax.jit(unet_lib.apply)(params, latent, t_emb, context)
+    err_dense = _rel_err(jax.jit(unet_lib.apply)(hybrid, latent, t_emb, context), fp32)
+    full_dyn = quantize.quantize_params(params, min_k=64)
+    err_dyn = _rel_err(jax.jit(unet_lib.apply)(full_dyn, latent, t_emb, context), fp32)
+    assert err_dense < max(1.5 * err_dyn, err_dyn + 0.02), (err_dense, err_dyn)
