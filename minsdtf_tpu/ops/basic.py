@@ -25,15 +25,34 @@ Padding = Union[int, Tuple[Tuple[int, int], Tuple[int, int]]]
 
 # Layout guard for W8A8 convs (see conv2d); env knob for A/B measurement.
 _INT8_BARRIER = os.environ.get("MINSDTF_INT8_BARRIER", "0") == "1"
-# Manual space-to-batch row-block count for W8A8 convs (0 = direct conv).
-_INT8_BLOCKS = int(os.environ.get("MINSDTF_INT8_BLOCKS", "16"))
-# Manual space-to-batch for FLOAT convs (0 = XLA's own space-to-batch pass).
-# Default ON: the r3 e2e A/B measured 0.594 -> 0.484 s/img wall with the conv
-# bucket at 150.7 TF/s (XLA's automatic pass picks shallower foldings in the
-# big UNet graph). Same products but a different accumulation grouping
-# (measured 4e-5 fp32 max abs diff on CPU), so it applies to bf16 production
-# activations only — fp32 parity/oracle paths keep the direct conv.
-_FLOAT_BLOCKS = int(os.environ.get("MINSDTF_FLOAT_BLOCKS", "16"))
+# Manual space-to-batch row-block counts ("auto" = batch-adaptive, 0/1 = direct
+# conv, N = fixed fold count for sweeps). Float default ON: the r3 e2e A/B
+# measured 0.594 -> 0.484 s/img wall with the conv bucket at 150.7 TF/s (XLA's
+# automatic space-to-batch pass picks shallower foldings in the big UNet
+# graph). Same products but a different accumulation grouping (measured 4e-5
+# fp32 max abs diff on CPU), so it applies to bf16 production activations only
+# — fp32 parity/oracle paths keep the direct conv.
+_INT8_BLOCKS = os.environ.get("MINSDTF_INT8_BLOCKS", "auto")
+_FLOAT_BLOCKS = os.environ.get("MINSDTF_FLOAT_BLOCKS", "auto")
+
+
+def _resolve_blocks(setting: str, batch: int) -> int:
+    """Batch-adaptive fold count for :func:`_blocked_conv`.
+
+    The folding exists to fill the MXU sublanes when the conv batch is small;
+    once the raw batch already fills them, folding only adds halo compute and
+    layout churn. Measured (512px int8-hybrid, r3 block sweeps): the batch-1
+    winner ran EVERY conv at 16 blocks (UNet CFG batch 2 + VAE batch 1;
+    0.4202 s/img vs 0.4390 at 8 blocks), the batch-8 winner ran EVERY conv
+    unfolded (UNet batch 16 + VAE batch 8; 0.3594 vs 0.4263 at 8 blocks,
+    0.4309 at 16, 0.4900 at 4 — folding strictly loses, non-monotonically).
+    "auto" reproduces both winner configs exactly: 16 blocks up to batch 2,
+    none from batch 8 up, 32//batch between."""
+    if setting != "auto":
+        return int(setting)
+    if batch >= 8:
+        return 1
+    return max(1, min(16, 32 // batch))
 
 
 def matmul_precision(dtype) -> Optional[jax.lax.Precision]:
@@ -138,8 +157,9 @@ def conv2d(x: jax.Array, p: dict, stride: int = 1, padding: Padding = 0) -> jax.
         pad = tuple((int(a), int(b)) for a, b in padding)
     if "kernel_q" in p:
         xq, asc = _quantize_acts(x, p, axes=(1, 2, 3))
-        if _INT8_BLOCKS > 1:
-            out = _blocked_conv(xq, p["kernel_q"], stride, pad, _INT8_BLOCKS)
+        nb_int8 = _resolve_blocks(_INT8_BLOCKS, x.shape[0])
+        if nb_int8 > 1:
+            out = _blocked_conv(xq, p["kernel_q"], stride, pad, nb_int8)
         else:
             out = jax.lax.conv_general_dilated(
                 xq,
@@ -157,9 +177,10 @@ def conv2d(x: jax.Array, p: dict, stride: int = 1, padding: Padding = 0) -> jax.
         out = (out.astype(jnp.float32) * (asc * p["kernel_scale"])).astype(x.dtype)
     else:
         kernel = p["kernel"].astype(x.dtype)
-        if _FLOAT_BLOCKS > 1 and x.dtype != jnp.float32:
+        nb_float = _resolve_blocks(_FLOAT_BLOCKS, x.shape[0])
+        if nb_float > 1 and x.dtype != jnp.float32:
             out = _blocked_conv(
-                x, kernel, stride, pad, _FLOAT_BLOCKS,
+                x, kernel, stride, pad, nb_float,
                 preferred=jnp.float32, precision=matmul_precision(x.dtype),
             ).astype(x.dtype)
         else:

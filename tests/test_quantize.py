@@ -126,8 +126,16 @@ def test_blocked_float_conv_matches_direct():
     np.testing.assert_allclose(
         np.asarray(blocked, np.float32), np.asarray(direct, np.float32),
         atol=2e-4, rtol=0)
-    # production entry point routes bf16 through the blocked path by default
-    assert basic._FLOAT_BLOCKS == 16
+    # production entry point routes bf16 through the blocked path by default:
+    # "auto" folds small batches to a total of ~32 rows-in-batch and leaves
+    # sublane-filling batches (>=16) unfolded (r3 b1 + b8 block sweeps)
+    assert basic._FLOAT_BLOCKS == "auto"
+    assert basic._resolve_blocks("auto", 1) == 16
+    assert basic._resolve_blocks("auto", 2) == 16
+    assert basic._resolve_blocks("auto", 4) == 8
+    assert basic._resolve_blocks("auto", 8) == 1
+    assert basic._resolve_blocks("auto", 16) == 1
+    assert basic._resolve_blocks("8", 2) == 8  # explicit sweeps stay exact
 
 
 def test_int8_unet_end_to_end_error():
