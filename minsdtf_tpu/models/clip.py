@@ -15,6 +15,8 @@ Param keys use HF/diffusers naming (``text_model.encoder.layers.{i}.*``,
 
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 
@@ -26,6 +28,11 @@ NUM_HEADS = 12
 NUM_LAYERS = 12
 VOCAB_SIZE = 49408
 MAX_LENGTH = 77
+# CLIP-universal special token ids (the checkpoint vocabulary is always 49408
+# rows); used for the fused unconditional-context row, mirroring the reference's
+# hardcoded [BOS] + [EOT]*76 (stable_diffusion.py:488-493).
+UNCOND_BOS = 49406
+UNCOND_PAD = 49407
 
 
 def clip_embedding(params: dict, tokens: jax.Array, positions: jax.Array) -> jax.Array:
@@ -67,6 +74,90 @@ def text_encoder(params: dict, clip_emb: jax.Array, clip_skip: int = -1) -> jax.
     for idx in range(num_effective):
         x = _encoder_layer(f"text_model.encoder.layers.{idx}", params, x)
     return layer_norm(x, params["text_model.final_layer_norm"])
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "m", "splice_n", "with_uncond", "no_boseos_middle", "weighted",
+        "clip_skip", "bos", "eot",
+    ),
+)
+def fused_lpw_encode(
+    params: dict,
+    tokens: jax.Array,              # (B, (MAX_LENGTH-2)*m + 2) int32, LPW-padded
+    weights: jax.Array,             # (B, L_out) fp32 per-token weights, or None
+    embedding: jax.Array,           # (1, splice_n, 768) textual-inversion matrix, or None
+    *,
+    m: int,                         # chunk count (1..max_embeddings_multiples)
+    splice_n: int,                  # textual-inversion token count (0 = none)
+    with_uncond: bool,              # also encode [BOS]+[EOT]*76 in the same batch
+    no_boseos_middle: bool,
+    weighted: bool,                 # apply weights + mean-preserving rescale in-jit
+    clip_skip: int,
+    bos: int,                       # tokenizer BOS/EOT ids for chunk boundaries
+    eot: int,
+):
+    """The WHOLE text stack in one dispatch: chunk split -> embed -> TI splice ->
+    encoder -> boundary strip -> LPW weighting (+ the unconditional context as one
+    extra batch row on first use).
+
+    Replaces the per-chunk embed->encode dispatch pairs of
+    :func:`minsdtf_tpu.text.prompt_weighting.encode_chunked` (the reference's
+    per-chunk ``predict_on_batch`` storm, ``long_prompt_weighting.py:178-237``):
+    through the tunnel each dispatch pays ~27 ms fixed RTT, so a fresh prompt cost
+    2 RTTs (embed + encode) x chunks + 1 for the uncond context. Here all chunks
+    AND the uncond row stack on the encoder's batch axis — one dispatch total.
+
+    Returns ``(context fp32 (B, L_out, 768), uncond fp32 (1, 77, 768) | None)``.
+    """
+    b = tokens.shape[0]
+    chunk = MAX_LENGTH
+    step = chunk - 2
+    if m == 1:
+        rows = tokens
+    else:
+        # overlapping 77-token windows with BOS/EOT written over the boundaries
+        # (reference long_prompt_weighting.py:195-200)
+        cs = []
+        for i in range(m):
+            c = tokens[:, i * step: i * step + chunk]
+            cs.append(c.at[:, 0].set(bos).at[:, -1].set(eot))
+        rows = jnp.concatenate(cs, axis=0)  # (m*B, 77), chunk-major
+    if with_uncond:
+        urow = jnp.full((1, chunk), UNCOND_PAD, jnp.int32).at[0, 0].set(UNCOND_BOS)
+        rows = jnp.concatenate([rows, urow], axis=0)
+    positions = jnp.arange(chunk, dtype=jnp.int32)[None]
+    emb = clip_embedding(params, rows, jnp.broadcast_to(positions, rows.shape))
+    if splice_n:
+        # splice the TI matrix over positions 1..n of chunk 0 (rows 0..B-1),
+        # between embedding and encoder (reference :202-213)
+        tiled = jnp.broadcast_to(
+            embedding.astype(emb.dtype), (b, splice_n, emb.shape[-1])
+        )
+        head = jnp.concatenate([emb[:b, :1], tiled, emb[:b, splice_n + 1:]], axis=1)
+        emb = jnp.concatenate([head, emb[b:]], axis=0)
+    enc = text_encoder(params, emb.astype(jnp.float32), clip_skip=clip_skip)
+    uncond = enc[-1:] if with_uncond else None
+    if with_uncond:
+        enc = enc[:-1]
+    if m == 1:
+        out = enc
+    else:
+        parts = []
+        for i in range(m):
+            e = enc[i * b: (i + 1) * b]
+            if no_boseos_middle:
+                e = e[:, (0 if i == 0 else 1): (None if i == m - 1 else -1)]
+            parts.append(e)
+        out = jnp.concatenate(parts, axis=1)
+    out = out.astype(jnp.float32)
+    if weighted:
+        # weight multiply + mean-preserving rescale (reference :329-332)
+        prev_mean = out.mean(axis=(-2, -1))
+        out = out * weights.astype(jnp.float32)[:, :, None]
+        out = out * (prev_mean / out.mean(axis=(-2, -1)))[:, None, None]
+    return out, uncond
 
 
 def encode_tokens(params: dict, tokens: jax.Array, clip_skip: int = -1) -> jax.Array:

@@ -47,12 +47,16 @@ def _resolve_blocks(setting: str, batch: int) -> int:
     unfolded (UNet batch 16 + VAE batch 8; 0.3594 vs 0.4263 at 8 blocks,
     0.4309 at 16, 0.4900 at 4 — folding strictly loses, non-monotonically).
     "auto" reproduces both winner configs exactly: 16 blocks up to batch 2,
-    none from batch 8 up, 32//batch between."""
+    none from batch 8 up, ~32/batch rows between — rounded DOWN to a power of
+    two so the count survives _blocked_conv's power-of-two divisibility guard
+    (SD conv output heights are 8/16/32/64: a fold count of 10 or 6 would
+    silently collapse to 2 there, far from the ~32-rows-in-batch target)."""
     if setting != "auto":
         return int(setting)
     if batch >= 8:
         return 1
-    return max(1, min(16, 32 // batch))
+    n = max(1, min(16, 32 // batch))
+    return 1 << (n.bit_length() - 1)
 
 
 def matmul_precision(dtype) -> Optional[jax.lax.Precision]:

@@ -156,6 +156,11 @@ class StableDiffusion:
 
             int8_act_scales = _cal.load_scales(int8_act_scales)
         self._int8_act_scales = int8_act_scales
+        # Read once at construction: the dense-site W8A8 A/B knob for int8_hybrid
+        # (quantize.hybridize_params dense_dynamic). A per-call environment read
+        # could silently flip the config between lazy param materialization and a
+        # later calibrate_int8() (ADVICE r3).
+        self._hybrid_dense = os.environ.get("MINSDTF_HYBRID_DENSE", "0") == "1"
         # Sequence parallelism: shard the self-attention token axis over the mesh's
         # `model` axis via ring attention (ops/ring_attention.py) for >=1024px
         # generation. Weights are then REPLICATED (the model axis carries tokens,
@@ -308,16 +313,20 @@ class StableDiffusion:
                     from minsdtf_tpu.weights import calibrate as _cal
 
                     params = _cal.bake_act_scales(params, self._int8_act_scales)
-            elif self.weight_dtype == "int8_hybrid" and self._int8_act_scales:
+            elif self.weight_dtype == "int8_hybrid" and (
+                self._int8_act_scales or self._hybrid_dense
+            ):
                 from minsdtf_tpu.weights import quantize
 
                 # stable-conv-site-only int8 from the fp32 originals; without
-                # scales the params stay float until calibrate_int8() runs.
+                # scales the conv sites stay float until calibrate_int8() runs.
                 # MINSDTF_HYBRID_DENSE=1 additionally runs the dense sites W8A8
-                # with dynamic per-token scales (A/B knob, see quantize.py).
+                # with dynamic per-token scales (A/B knob, see quantize.py) —
+                # dense needs no calibrated scales, so it applies even when
+                # int8_act_scales is absent.
                 params = quantize.hybridize_params(
-                    params, self._int8_act_scales,
-                    dense_dynamic=os.environ.get("MINSDTF_HYBRID_DENSE", "0") == "1",
+                    params, self._int8_act_scales or {},
+                    dense_dynamic=self._hybrid_dense,
                 )
             self._unet_params = self._shard(self._cast(params))
         return self._unet_params
@@ -400,6 +409,25 @@ class StableDiffusion:
     def encode_text(self, prompt: Union[str, List[str]], embedding_data=None) -> np.ndarray:
         """Prompt -> (B, 77*m, 768) context via A1111 LPW; optional textual-inversion
         embedding (path to .pt/.safetensors or array) spliced at the front."""
+        return np.asarray(self._encode_text_dev(prompt, embedding_data), np.float32)
+
+    def _encode_text_dev(self, prompt: Union[str, List[str]], embedding_data=None):
+        """Device-resident encode_text: tokenize/parse on host, then the whole
+        embed -> TI splice -> encoder -> LPW weighting stack in ONE dispatch
+        (clip_lib.fused_lpw_encode) returning a (B, S, 768) fp32 device array that
+        feeds the sampler with no host round-trip. The first call also encodes the
+        unconditional context as one extra batch row (same dispatch). Repeat
+        prompts (no TI) hit a small device-side cache."""
+        cache_key = None
+        if embedding_data is None:
+            cache_key = (prompt if isinstance(prompt, str) else tuple(prompt),
+                         self._uncond_dev is not None)
+            cache = getattr(self, "_prompt_dev_cache", None)
+            if cache is None:
+                cache = self._prompt_dev_cache = {}
+            hit = cache.get(cache_key)
+            if hit is not None:
+                return hit
         embedding = None
         embedding_tokens_count = 0
         if embedding_data is not None:
@@ -419,7 +447,7 @@ class StableDiffusion:
             embedding_tokens_count = embedding.shape[0]
             embedding = embedding[None]
         embed_fn, encode_fn = self._text_fns()
-        return lpw.get_weighted_text_embeddings(
+        out = lpw.get_weighted_text_embeddings(
             self.tokenizer,
             embed_fn,
             encode_fn,
@@ -428,12 +456,58 @@ class StableDiffusion:
             pad_token_id=PAD_TOKEN_ID,
             embedding=embedding,
             embedding_tokens_count=embedding_tokens_count,
+            fused_fn=self._fused_text_call,
         )
+        if cache_key is not None:
+            if len(self._prompt_dev_cache) >= 8:
+                self._prompt_dev_cache.pop(next(iter(self._prompt_dev_cache)))
+            self._prompt_dev_cache[cache_key] = out
+        return out
+
+    def _fused_text_call(self, token_array, weight_array, embedding, splice_n,
+                         no_boseos_middle):
+        """lpw fused_fn hook -> clip_lib.fused_lpw_encode. Encodes the uncond
+        context in the same dispatch while it is still unset (one extra encoder
+        batch row instead of a separate ~27 ms tunnel dispatch later)."""
+        params = self.text_params
+        m = (token_array.shape[1] - 2) // (MAX_PROMPT_LENGTH - 2)
+        want_uncond = self._uncond_dev is None
+        tok = self.tokenizer
+        context, uncond = clip_lib.fused_lpw_encode(
+            params,
+            jnp.asarray(token_array, jnp.int32),
+            None if weight_array is None else jnp.asarray(weight_array, jnp.float32),
+            None if embedding is None else jnp.asarray(embedding, jnp.float32),
+            m=m,
+            splice_n=int(splice_n),
+            with_uncond=want_uncond,
+            no_boseos_middle=bool(no_boseos_middle),
+            weighted=weight_array is not None,
+            clip_skip=self.clip_skip,
+            bos=int(tok.start_of_text),
+            eot=int(tok.end_of_text),
+        )
+        if want_uncond:
+            self._uncond_dev = uncond
+        return context
+
+    def warm_text(self) -> None:
+        """Pre-compile the fused text-encoding traces for single-chunk prompts
+        (with and without the batched uncond row) so a serving daemon's first
+        fresh prompt pays dispatch latency, not compile latency."""
+        self._encode_text_dev("warmup prompt")
+        self._prompt_dev_cache.clear()
+        self._encode_text_dev("warmup prompt")
+        self._prompt_dev_cache.clear()
 
     def _unconditional_context(self) -> np.ndarray:
         """[BOS] + [EOT]*76 through embed+encode, bypassing LPW (reference :488-493).
         Prompt-independent, so cached after the first call."""
         if getattr(self, "_uncond_cache", None) is None:
+            if getattr(self, "_uncond_dev", None) is not None:
+                # already encoded (batched into a fused text dispatch)
+                self._uncond_cache = np.asarray(self._uncond_dev, np.float32)
+                return self._uncond_cache
             tokens = np.asarray(
                 [[BOS_TOKEN_ID] + [PAD_TOKEN_ID] * (MAX_PROMPT_LENGTH - 1)], np.int32
             )
@@ -524,7 +598,7 @@ class StableDiffusion:
         guidance_rescale=0.7,
         callback=None,
     ):
-        encoded_text = self.encode_text(prompt, embedding)
+        encoded_text = self._encode_text_dev(prompt, embedding)
         return self.generate_image(
             encoded_text,
             negative_prompt=negative_prompt,
@@ -554,7 +628,7 @@ class StableDiffusion:
         guidance_rescale=0.7,
         callback=None,
     ):
-        encoded_text = self.encode_text(prompt, embedding)
+        encoded_text = self._encode_text_dev(prompt, embedding)
         return self.generate_image(
             encoded_text,
             negative_prompt=negative_prompt,
@@ -588,7 +662,7 @@ class StableDiffusion:
         guidance_rescale=0.7,
         callback=None,
     ):
-        encoded_text = self.encode_text(prompt, embedding)
+        encoded_text = self._encode_text_dev(prompt, embedding)
         return self.generate_image(
             encoded_text,
             negative_prompt=negative_prompt,
@@ -637,15 +711,22 @@ class StableDiffusion:
         h8, w8 = self.img_height // 8, self.img_width // 8
         dtype = self.compute_dtype
 
-        context = self._as_context(encoded_text, batch_size)
+        # Contexts may arrive as device arrays (the fused _encode_text_dev path —
+        # zero host round-trips) or as host arrays (reference-style callers passing
+        # numpy from encode_text); host arrays go through the content-keyed device
+        # cache.
+        if isinstance(encoded_text, jax.Array) and encoded_text.ndim == 3:
+            context = encoded_text
+        else:
+            context = self._context_dev(self._as_context(encoded_text, batch_size))
         use_cfg = unconditional_guidance_scale > 0.0
         uncond_context = None
         if use_cfg:
             if negative_prompt is None and negative_embedding is None:
                 uncond_context = self._unconditional_context_dev()
             else:
-                uncond_context = self._as_context(
-                    self.encode_text(negative_prompt or "", negative_embedding), batch_size
+                uncond_context = self._encode_text_dev(
+                    negative_prompt or "", negative_embedding
                 )
 
         # ---- noise & init latent ------------------------------------------------
@@ -742,7 +823,7 @@ class StableDiffusion:
                 self.unet_params,
                 self.vae_params,
                 None if device_noise else jnp.asarray(latent0, dtype),
-                self._context_dev(context),
+                context,
                 jnp.asarray(uncond_context, jnp.float32) if use_cfg else None,
                 t_embs,
                 rows,
@@ -865,7 +946,7 @@ class StableDiffusion:
 
             self._unet_params = _q.hybridize_params(
                 self.unet_params, amax, margin=margin,
-                dense_dynamic=os.environ.get("MINSDTF_HYBRID_DENSE", "0") == "1",
+                dense_dynamic=self._hybrid_dense,
             )
         else:
             self._unet_params = _cal.bake_act_scales(

@@ -205,9 +205,16 @@ def get_weighted_text_embeddings(
     embedding_tokens_count: int = 0,
     embedding_tokens_weight: float = 1.0,
     embedding: Optional[np.ndarray] = None,
+    fused_fn: Optional[Callable] = None,
 ) -> np.ndarray:
     """Full LPW entry point (reference :240-333): parse -> pad -> chunked encode ->
-    weight multiply -> mean-preserving rescale."""
+    weight multiply -> mean-preserving rescale.
+
+    ``fused_fn`` (single-dispatch device path): when given, the chunked encode AND
+    the weighting run inside one jit — called as ``fused_fn(token_array,
+    weight_array_or_None, embedding, embedding_tokens_count, no_boseos_middle)``
+    and its (device-array) result is returned directly. The host logic above
+    (parsing, tokenization, padding, multiples) is shared between both paths."""
     if embedding_tokens_count > 0 and embedding is None:
         embedding_tokens_count = 0
     max_length = (model_max_length - 2) * max_embeddings_multiples + 2
@@ -239,6 +246,15 @@ def get_weighted_text_embeddings(
         chunk_length=model_max_length,
     )
     token_array = np.asarray(tokens, dtype=np.int32)
+    if fused_fn is not None:
+        weighted = not skip_parsing and not skip_weighting
+        return fused_fn(
+            token_array,
+            np.asarray(weights, dtype=np.float32) if weighted else None,
+            embedding,
+            embedding_tokens_count,
+            no_boseos_middle,
+        )
     embeddings = encode_chunked(
         embed_fn,
         encode_fn,

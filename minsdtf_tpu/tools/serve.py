@@ -96,7 +96,10 @@ class BatchingWorker:
                 base64.b64decode(p["context"]), dtype=np.float32
             ).reshape(p.get("context_shape", (77, 768)))
         else:
-            ctx = self.pipe.encode_text(p["prompt"])
+            # device-resident encode (one dispatch, no D2H) when the pipeline has
+            # the fused path; fakes in tests only implement encode_text
+            enc = getattr(self.pipe, "_encode_text_dev", self.pipe.encode_text)
+            ctx = enc(p["prompt"])
         handle = self.pipe.generate_image(
             ctx,
             negative_prompt=p.get("negative_prompt"),
@@ -238,6 +241,8 @@ def main(argv=None):
         int8_act_scales=args.int8_hybrid,
         scheduler_type=args.scheduler,
     )
+    if args.bpe:
+        pipe.warm_text()  # compile the fused text traces before the first request
     server, worker = serve(pipe, args.host, args.port, args.depth)
     print(f"serving on http://{args.host}:{args.port} (depth {worker.depth})")
     try:

@@ -60,6 +60,16 @@ def quantize_kernel(kernel) -> tuple:
     return q, scale.astype(np.float32)
 
 
+def _quantize_module(leaves: dict) -> dict:
+    """Rewrite a module dict: ``kernel`` -> ``kernel_q`` (int8) + ``kernel_scale``
+    (fp32 per-out-channel); every other leaf passes through."""
+    q, scale = quantize_kernel(leaves["kernel"])
+    new = {k: v for k, v in leaves.items() if k != "kernel"}
+    new["kernel_q"] = jnp.asarray(q)
+    new["kernel_scale"] = jnp.asarray(scale)
+    return new
+
+
 def should_quantize(name: str, leaves: dict, skip_suffixes: Iterable[str],
                     min_k: int) -> bool:
     if "kernel" not in leaves:
@@ -88,11 +98,7 @@ def quantize_params(
             out[name] = leaves
             continue
         if should_quantize(name, leaves, skip_suffixes, min_k):
-            q, scale = quantize_kernel(leaves["kernel"])
-            new = {k: v for k, v in leaves.items() if k != "kernel"}
-            new["kernel_q"] = jnp.asarray(q)
-            new["kernel_scale"] = jnp.asarray(scale)
-            out[name] = new
+            out[name] = _quantize_module(leaves)
         else:
             out[name] = leaves
     return out
@@ -145,11 +151,7 @@ def hybridize_params(
             and getattr(leaves["kernel"], "ndim", 0) == 2
             and should_quantize(name, leaves, skip_suffixes, min_k)
         ):
-            q, scale = quantize_kernel(leaves["kernel"])
-            new = {k: v for k, v in leaves.items() if k != "kernel"}
-            new["kernel_q"] = jnp.asarray(q)
-            new["kernel_scale"] = jnp.asarray(scale)
-            out[name] = new
+            out[name] = _quantize_module(leaves)
             continue
         stats = scales.get(name)
         eligible = (
@@ -166,10 +168,7 @@ def hybridize_params(
         if not eligible:
             out[name] = leaves
             continue
-        q, scale = quantize_kernel(leaves["kernel"])
-        new = {k: v for k, v in leaves.items() if k != "kernel"}
-        new["kernel_q"] = jnp.asarray(q)
-        new["kernel_scale"] = jnp.asarray(scale)
+        new = _quantize_module(leaves)
         new["act_scale"] = jnp.float32(max(amax, 1e-12) * margin / 127.0)
         out[name] = new
     return out
