@@ -699,6 +699,7 @@ class StableDiffusion:
         callback=None,
         eta=0.3,
         return_latent=False,
+        return_trajectory=False,
         _defer_fetch=False,
     ):
         if diffusion_noise is not None and seed is not None:
@@ -819,7 +820,7 @@ class StableDiffusion:
         if live_progress:
             sampler.set_progress_callback(callback)
         try:
-            image_u8, latent = sampler.generate(
+            out = sampler.generate(
                 self.unet_params,
                 self.vae_params,
                 None if device_noise else jnp.asarray(latent0, dtype),
@@ -854,7 +855,10 @@ class StableDiffusion:
                 use_inpaint=inpaint_active,
                 with_progress=live_progress,
                 sp=attention_ops.sequence_parallel_key(),
+                trace_latents=return_trajectory,
             )
+            image_u8, latent = out[0], out[1]
+            trajectory = out[2] if return_trajectory else None
             # _defer_fetch (generate_images): leave the result on device — the
             # caller fetches later, overlapping this D2H with the next dispatch.
             image = image_u8 if _defer_fetch else np.asarray(image_u8)
@@ -866,6 +870,11 @@ class StableDiffusion:
         if callback is not None and not live_progress and not _defer_fetch:
             for i in range(schedule.num_steps):  # post-hoc fallback
                 callback(i + 1)
+        if return_trajectory:
+            traj = trajectory if _defer_fetch else np.asarray(trajectory, np.float32)
+            if return_latent:
+                return image, np.asarray(latent, np.float32), traj
+            return image, traj
         if return_latent:
             return image, (latent if _defer_fetch else np.asarray(latent, np.float32))
         return image

@@ -75,7 +75,7 @@ def rescale_noise_cfg(noise_cfg, noise_pred_text, guidance_rescale, epsilon=1e-5
     static_argnames=(
         "use_cfg", "active_tcd", "stochastic", "use_controls", "use_inpaint", "decode",
         "with_progress", "lcm", "dpm", "euler_a", "v_prediction", "sp", "latent_shape",
-        "latent_dtype",
+        "latent_dtype", "trace_latents",
     ),
     donate_argnames=("latent0",),
 )
@@ -124,9 +124,17 @@ def generate(
     # a 16-byte key — same bits as rng.stateless_normal, same seed semantics.
     latent_shape=None,
     latent_dtype=None,
+    # Observability: stack the post-step latent of every scan iteration as an
+    # (n_steps, B, h, w, 4) fp32 output — the measurement hook for the prefix-
+    # divergence quality dossier (experiments/quality_dossier.py) and for
+    # step-by-step debugging. The reference exposes per-step latents implicitly
+    # (its loop lives on the host, stable_diffusion.py:442-479); here they must
+    # be captured from inside the jit.
+    trace_latents: bool = False,
 ):
     """Run the full denoise(+decode) program. Returns ``(image_uint8, latent)`` when
-    ``decode`` else ``(None, latent)``."""
+    ``decode`` else ``(None, latent)``; with ``trace_latents`` a third element holds
+    the full per-step latent trajectory."""
     if latent0 is None:
         compute_dtype = jnp.dtype(latent_dtype)
         latent0 = rng_lib.device_stateless_normal(philox_kc, latent_shape).astype(compute_dtype)
@@ -250,15 +258,16 @@ def generate(
         if with_progress:
             jax.debug.callback(_emit_progress, step["idx"], ordered=False)
         new = new.astype(compute_dtype)
-        return ((new, x0) if dpm else new), None
+        ys = new.astype(jnp.float32) if trace_latents else None
+        return ((new, x0) if dpm else new), ys
 
     unroll = int(os.environ.get("MINSDTF_SCAN_UNROLL", "1"))
     carry0 = (latent0, jnp.zeros(latent0.shape, jnp.float32)) if dpm else latent0
-    carry, _ = jax.lax.scan(body, carry0, xs, unroll=unroll)
+    carry, trajectory = jax.lax.scan(body, carry0, xs, unroll=unroll)
     latent = carry[0] if dpm else carry
 
     if not decode:
-        return None, latent
+        return (None, latent, trajectory) if trace_latents else (None, latent)
 
     decoded = vae_lib.decode(decoder_params, latent).astype(jnp.float32)
     image = (decoded + 1.0) * 0.5
@@ -266,4 +275,4 @@ def generate(
         pm = pixel_mask.astype(jnp.float32)
         image = image_for_blend.astype(jnp.float32) * (1.0 - pm) + image * pm
     image_u8 = jnp.clip(image * 255.0, 0.0, 255.0).astype(jnp.uint8)
-    return image_u8, latent
+    return (image_u8, latent, trajectory) if trace_latents else (image_u8, latent)

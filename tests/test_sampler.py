@@ -458,3 +458,36 @@ def test_scan_matches_host_loop_euler_a(unet_params):
         use_controls=False, use_inpaint=False, decode=False,
     )
     np.testing.assert_allclose(np.asarray(got), latent, rtol=2e-4, atol=2e-4)
+
+
+def test_trace_latents_trajectory(unet_params, vae_params):
+    """trace_latents stacks every post-step latent: shape (n, B, h, w, 4) fp32,
+    each prefix equal to a shorter-scan run of the SAME schedule rows, and the
+    last row equal to the returned final latent. This is the measurement hook
+    for the prefix-divergence quality dossier (experiments/quality_dossier.py)."""
+    schedule, t_embs, latent0, context, uncond = _setup(False, steps=3)
+    rows = {k: getattr(schedule, k) for k in (
+        "sr_t", "nr_t", "sr_prev", "nr_prev", "sr_s", "nr_s",
+        "c_denoised", "c_noise", "is_last")}
+    common = dict(
+        noise_key=None, use_cfg=True, active_tcd=False, stochastic=False,
+        use_controls=False, use_inpaint=False,
+    )
+    img, latent, traj = sampler.generate(
+        unet_params, vae_params, jnp.asarray(latent0, jnp.float32),
+        jnp.asarray(context, jnp.float32), jnp.asarray(uncond, jnp.float32),
+        jnp.asarray(t_embs, jnp.float32), rows,
+        jnp.float32(7.5), jnp.float32(0.3), trace_latents=True, **common)
+    traj = np.asarray(traj, np.float32)
+    assert traj.shape == (3, B, H, W, 4)
+    assert img.shape[1:] == (H * 8, W * 8, 3)
+    np.testing.assert_array_equal(traj[-1], np.asarray(latent, np.float32))
+    # prefix check: a 1-step scan over the first schedule row reproduces traj[0]
+    rows1 = {k: v[:1] for k, v in rows.items()}
+    _, lat1 = sampler.generate(
+        unet_params, None, jnp.asarray(latent0, jnp.float32),
+        jnp.asarray(context, jnp.float32), jnp.asarray(uncond, jnp.float32),
+        jnp.asarray(t_embs[:1], jnp.float32), rows1,
+        jnp.float32(7.5), jnp.float32(0.3), decode=False, **common)
+    np.testing.assert_allclose(traj[0], np.asarray(lat1, np.float32),
+                               rtol=1e-5, atol=1e-5)
