@@ -15,6 +15,12 @@ Design (one chip = one worker; stdlib only — no server frameworks in this env)
     _defer_fetch=True)`` (device arrays stay on device), and keeps a depth-
     ``pipeline_depth`` deque of in-flight handles; fetching request *i*'s image
     happens while *i+1* computes.
+  - concurrently queued requests with matching (steps, guidance, negative) MERGE
+    into ONE batched program up to ``max_batch``: contexts stack on the sampler's
+    batch axis, per-request seeds become per-row initial noise (bit-identical to
+    each request's own batch-1 noise) — batch-8 measures 0.36 s/img where batch-1
+    is 0.43 (ROADMAP r4), so merging raises throughput under load without
+    changing anyone's pixels.
   - requests carry either a ``prompt`` (tokenized through the pipeline's BPE) or a
     precomputed ``context`` (base64 fp32 — lets zero-vocab environments serve).
 
@@ -55,17 +61,36 @@ class _Request:
 
 
 class BatchingWorker:
-    """Pulls requests off a queue, keeps ``pipeline_depth`` generations in flight.
+    """Pulls requests off a queue, keeps ``pipeline_depth`` generations in flight,
+    and MERGES concurrently queued compatible requests into one batched program
+    (VERDICT r3 #3: batch-8 runs 0.36 s/img vs 0.44 at batch 1 — contexts stack on
+    the sampler's batch axis, per-request seeds become stacked initial-noise rows
+    bit-identical to each request's own batch-1 noise, so merging changes wall
+    time, not pixels, for the deterministic samplers).
 
     ``pipe`` needs the ``generate_image``/``encode_text`` surface of
-    :class:`minsdtf_tpu.pipeline.StableDiffusion`; tests inject a fake."""
+    :class:`minsdtf_tpu.pipeline.StableDiffusion`; tests inject a fake. Merging
+    additionally needs ``img_height``/``img_width`` (per-seed noise rows) — a pipe
+    without them (minimal fakes) serves strictly per-request."""
 
-    def __init__(self, pipe, pipeline_depth: int = 2, max_queue: int = 64):
+    #: payload fields that must match for two requests to share one program
+    _MERGE_FIELDS = ("steps", "guidance_scale", "guidance_rescale", "negative_prompt")
+
+    def __init__(self, pipe, pipeline_depth: int = 2, max_queue: int = 64,
+                 max_batch: int = 8):
         self.pipe = pipe
         self.depth = max(1, int(pipeline_depth))
+        self.max_batch = max(1, int(max_batch))
+        self.can_merge = (
+            self.max_batch > 1
+            and getattr(pipe, "img_height", None) is not None
+            and getattr(pipe, "img_width", None) is not None
+        )
         self.requests: "queue.Queue[_Request]" = queue.Queue(maxsize=max_queue)
         self.inflight: deque = deque()
+        self._pending: deque = deque()  # requests deferred by merge incompatibility
         self.served = 0
+        self.merged_batches = 0
         self.total_latency = 0.0
         self._stop = threading.Event()
         self._thread = threading.Thread(target=self._run, daemon=True)
@@ -89,19 +114,20 @@ class BatchingWorker:
 
     # ---- worker internals --------------------------------------------------------
 
-    def _dispatch(self, req: _Request):
-        p = req.payload
+    def _context_of(self, p: dict) -> np.ndarray:
         if "context" in p:
-            ctx = np.frombuffer(
+            return np.frombuffer(
                 base64.b64decode(p["context"]), dtype=np.float32
             ).reshape(p.get("context_shape", (77, 768)))
-        else:
-            # device-resident encode (one dispatch, no D2H) when the pipeline has
-            # the fused path; fakes in tests only implement encode_text
-            enc = getattr(self.pipe, "_encode_text_dev", self.pipe.encode_text)
-            ctx = enc(p["prompt"])
-        handle = self.pipe.generate_image(
-            ctx,
+        # device-resident encode (one dispatch, no D2H) when the pipeline has
+        # the fused path; fakes in tests only implement encode_text
+        enc = getattr(self.pipe, "_encode_text_dev", self.pipe.encode_text)
+        return enc(p["prompt"])
+
+    def _dispatch(self, req: _Request):
+        p = req.payload
+        return self.pipe.generate_image(
+            self._context_of(p),
             negative_prompt=p.get("negative_prompt"),
             num_steps=int(p.get("steps", 25)),
             unconditional_guidance_scale=float(p.get("guidance_scale", 7.5)),
@@ -109,34 +135,119 @@ class BatchingWorker:
             seed=p.get("seed"),
             _defer_fetch=True,
         )
-        return handle
 
-    def _finish(self, req: _Request, handle):
+    def _dispatch_merged(self, reqs):
+        """One batched program for ``len(reqs)`` compatible requests: contexts
+        stack on the batch axis; each request's seed generates its OWN initial-
+        noise row through the TF-Philox host generator — bit-identical to the
+        noise that request's batch-1 run would draw (``pipeline.py`` seed path),
+        so merging is pixel-invariant for the deterministic samplers. Contexts of
+        different LPW chunk counts (seq lengths) dispatch as separate sub-groups
+        — one program per (batch, seq) shape."""
+        from minsdtf_tpu import rng as rng_lib  # lazy: keeps fake-pipe tests jax-free
+
+        p0 = reqs[0].payload
+        ctxs = [np.asarray(self._context_of(r.payload), np.float32) for r in reqs]
+        ctxs = [c[None] if c.ndim == 2 else c for c in ctxs]
+        groups: dict = {}
+        for r, c in zip(reqs, ctxs):
+            groups.setdefault(c.shape[1], []).append((r, c))
+        h8 = self.pipe.img_height // 8
+        w8 = self.pipe.img_width // 8
+        out = []
+        for _, pairs in groups.items():
+            grp = [r for r, _ in pairs]
+            ctx = np.concatenate([c for _, c in pairs], axis=0)
+            noise = np.concatenate(
+                [
+                    np.asarray(
+                        rng_lib.stateless_normal(
+                            (1, h8, w8, 4),
+                            r.payload.get("seed")
+                            if r.payload.get("seed") is not None
+                            else int(np.random.randint(0, 2**31 - 1)),
+                        ),
+                        np.float32,
+                    )
+                    for r in grp
+                ],
+                axis=0,
+            )
+            handle = self.pipe.generate_image(
+                ctx,
+                batch_size=len(grp),
+                diffusion_noise=noise,
+                negative_prompt=p0.get("negative_prompt"),
+                num_steps=int(p0.get("steps", 25)),
+                unconditional_guidance_scale=float(p0.get("guidance_scale", 7.5)),
+                guidance_rescale=float(p0.get("guidance_rescale", 0.7)),
+                _defer_fetch=True,
+            )
+            if len(grp) > 1:
+                self.merged_batches += 1
+            out.append((grp, handle))
+        return out
+
+    def _finish(self, reqs, handle):
         try:
-            req.result = np.asarray(handle)  # D2H — overlaps the next dispatch
-            self.served += 1
-            self.total_latency += time.perf_counter() - req.t_enqueue
+            arr = np.asarray(handle)  # D2H — overlaps the next dispatch
+            now = time.perf_counter()
+            for i, req in enumerate(reqs):
+                req.result = arr[i : i + 1] if len(reqs) > 1 else arr
+                self.served += 1
+                self.total_latency += now - req.t_enqueue
         except Exception as e:  # pragma: no cover - device failure path
-            req.error = f"{type(e).__name__}: {e}"
+            for req in reqs:
+                req.error = f"{type(e).__name__}: {e}"
         finally:
-            req.event.set()
+            for req in reqs:
+                req.event.set()
+
+    def _merge_key(self, p: dict):
+        return tuple(p.get(k) for k in self._MERGE_FIELDS)
+
+    def _next_batch(self):
+        """Pop the oldest request plus every queued request compatible with it
+        (up to ``max_batch``); incompatible ones stay pending in arrival order."""
+        try:
+            self._pending.append(self.requests.get(timeout=0.1))
+            while True:
+                self._pending.append(self.requests.get_nowait())
+        except queue.Empty:
+            pass
+        if not self._pending:
+            return []
+        first = self._pending.popleft()
+        if not self.can_merge:
+            return [first]
+        batch, keep = [first], deque()
+        key = self._merge_key(first.payload)
+        while self._pending and len(batch) < self.max_batch:
+            r = self._pending.popleft()
+            (batch if self._merge_key(r.payload) == key else keep).append(r)
+        keep.extend(self._pending)
+        self._pending = keep
+        return batch
 
     def _run(self):
         while not self._stop.is_set():
-            try:
-                req = self.requests.get(timeout=0.1)
-            except queue.Empty:
+            batch = self._next_batch()
+            if not batch:
                 # drain in-flight work while idle
                 while self.inflight:
                     self._finish(*self.inflight.popleft())
                 continue
             try:
-                handle = self._dispatch(req)
+                if len(batch) > 1:
+                    dispatched = self._dispatch_merged(batch)
+                else:
+                    dispatched = [([batch[0]], self._dispatch(batch[0]))]
             except Exception as e:
-                req.error = f"{type(e).__name__}: {e}"
-                req.event.set()
+                for req in batch:
+                    req.error = f"{type(e).__name__}: {e}"
+                    req.event.set()
                 continue
-            self.inflight.append((req, handle))
+            self.inflight.extend(dispatched)
             while len(self.inflight) >= self.depth:
                 self._finish(*self.inflight.popleft())
         while self.inflight:
@@ -180,7 +291,8 @@ def make_handler(worker: BatchingWorker):
                 self._reply(200, {"ok": True, "queue_depth": worker.requests.qsize()})
             elif self.path == "/stats":
                 avg = worker.total_latency / worker.served if worker.served else None
-                self._reply(200, {"served": worker.served, "avg_latency_s": avg})
+                self._reply(200, {"served": worker.served, "avg_latency_s": avg,
+                                  "merged_batches": worker.merged_batches})
             else:
                 self._reply(404, {"error": "not found"})
 
@@ -202,9 +314,11 @@ def make_handler(worker: BatchingWorker):
     return Handler
 
 
-def serve(pipe, host: str = "127.0.0.1", port: int = 8000, pipeline_depth: int = 2):
+def serve(pipe, host: str = "127.0.0.1", port: int = 8000, pipeline_depth: int = 2,
+          max_batch: int = 8):
     """Start worker + HTTP server; returns (server, worker) — caller loops."""
-    worker = BatchingWorker(pipe, pipeline_depth=pipeline_depth).start()
+    worker = BatchingWorker(pipe, pipeline_depth=pipeline_depth,
+                            max_batch=max_batch).start()
     server = ThreadingHTTPServer((host, port), make_handler(worker))
     return server, worker
 
@@ -217,6 +331,9 @@ def main(argv=None):
     ap.add_argument("--port", type=int, default=8000)
     ap.add_argument("--size", type=int, default=512)
     ap.add_argument("--depth", type=int, default=2)
+    ap.add_argument("--max-batch", type=int, default=8,
+                    help="merge up to N concurrently queued compatible requests "
+                         "into one batched program (1 disables)")
     ap.add_argument("--bpe", default=None, help="CLIP merges file (for `prompt` requests)")
     ap.add_argument("--int8", action="store_true", help="serve with W8A8 weights")
     ap.add_argument("--int8-hybrid", default=None, metavar="SCALES_NPZ",
@@ -243,7 +360,8 @@ def main(argv=None):
     )
     if args.bpe:
         pipe.warm_text()  # compile the fused text traces before the first request
-    server, worker = serve(pipe, args.host, args.port, args.depth)
+    server, worker = serve(pipe, args.host, args.port, args.depth,
+                           max_batch=args.max_batch)
     print(f"serving on http://{args.host}:{args.port} (depth {worker.depth})")
     try:
         server.serve_forever()

@@ -144,3 +144,95 @@ def test_concurrent_http_requests_pipeline(http_server):
         t.join(timeout=60)
     assert results == [200] * 6
     assert worker.served == 6
+
+
+class BatchFakeHandle:
+    def __init__(self, n, delay=0.0):
+        self.n = n
+        self.delay = delay
+
+    def __array__(self, dtype=None, copy=None):
+        if self.delay:
+            time.sleep(self.delay)
+        out = np.zeros((self.n, 8, 8, 3), np.uint8)
+        out += np.arange(self.n, dtype=np.uint8)[:, None, None, None]
+        return out
+
+
+class BatchFakePipe(FakePipe):
+    """Batch-capable fake: exposes img_height/img_width so the worker merges."""
+
+    img_height = img_width = 64
+
+    def generate_image(self, ctx, _defer_fetch=False, batch_size=1,
+                       diffusion_noise=None, seed=None, **kw):
+        assert _defer_fetch
+        with self.lock:
+            self.dispatched.append(
+                (np.shape(ctx)[0] if np.ndim(ctx) == 3 else 1, batch_size,
+                 None if diffusion_noise is None else np.shape(diffusion_noise)))
+        return BatchFakeHandle(batch_size, self.delay)
+
+
+def test_worker_merges_compatible_requests():
+    """Concurrently queued same-config requests run as ONE batched program and
+    each caller gets its own image row; a different-steps request is NOT merged."""
+    pipe = BatchFakePipe(delay=0.05)
+    worker = serve_mod.BatchingWorker(pipe, pipeline_depth=1, max_batch=8)
+    results = {}
+
+    def client(i, steps):
+        results[i] = worker.submit({"prompt": f"p{i}", "seed": i, "steps": steps})
+
+    threads = [threading.Thread(target=client, args=(i, 4 if i < 3 else 9))
+               for i in range(4)]
+    for t in threads:
+        t.start()
+    time.sleep(0.3)  # let all four enqueue before the worker starts
+    worker.start()
+    for t in threads:
+        t.join(timeout=30)
+    try:
+        assert worker.served == 4
+        assert worker.merged_batches == 1
+        # one batch-3 dispatch (steps=4 trio) + one solo (steps=9)
+        sizes = sorted(b for _, b, _ in pipe.dispatched)
+        assert sizes == [1, 3]
+        merged = next(d for d in pipe.dispatched if d[1] == 3)
+        assert merged[0] == 3                      # stacked contexts
+        assert merged[2] == (3, 8, 8, 4)           # per-seed noise rows
+        assert all(results[i].shape == (1, 8, 8, 3) for i in range(4))
+        rows = sorted(int(results[i][0, 0, 0, 0]) for i in range(3))
+        assert rows == [0, 1, 2]                   # each caller got its own row
+    finally:
+        worker.stop()
+
+
+def test_merge_seed_noise_rows_match_batch1(tmp_path):
+    """The merged path's per-request noise rows are bit-identical to the noise
+    each request would draw alone (pipeline.py's stateless_normal seed path)."""
+    from minsdtf_tpu import rng as rng_lib
+
+    captured = {}
+
+    class CapturePipe(BatchFakePipe):
+        def generate_image(self, ctx, diffusion_noise=None, batch_size=1, **kw):
+            captured["noise"] = np.asarray(diffusion_noise)
+            return BatchFakeHandle(batch_size)
+
+    worker = serve_mod.BatchingWorker(CapturePipe(), pipeline_depth=1, max_batch=4)
+    threads = [threading.Thread(
+        target=lambda i=i: worker.submit({"prompt": "x", "seed": 100 + i}))
+        for i in range(2)]
+    for t in threads:
+        t.start()
+    time.sleep(0.2)
+    worker.start()
+    for t in threads:
+        t.join(timeout=30)
+    worker.stop()
+    noise = captured["noise"]
+    assert noise.shape == (2, 8, 8, 4)
+    for i, seed in enumerate((100, 101)):
+        want = np.asarray(rng_lib.stateless_normal((1, 8, 8, 4), seed), np.float32)
+        np.testing.assert_array_equal(noise[i:i + 1], want)
