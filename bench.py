@@ -21,7 +21,10 @@ achieved fraction of the analytic speed-of-light for this workload on the local 
   - ``dpm15``: DPM-Solver++(2M) 15-step batch-1 s/img (DDIM-25 quality class);
   - ``pipelined``: s/img through queued dispatch (``generate_images``);
   - ``served_qps``: sustained images/s through the live HTTP serving daemon
-    (``tools/serve.py``) with 3 concurrent clients, incl. JSON/base64/PNG work.
+    (``tools/serve.py``) with concurrent clients (the daemon merges compatible
+    queued requests into batched programs), incl. JSON/base64/PNG work;
+  - ``hires1024``: 1024x1024 25-step batch-1 s/img (bf16) — the long-context
+    config the reference's O(S^2) attention cannot run on one device.
 
 A compiled-kernel parity selfcheck (Pallas vs XLA on THIS chip) runs first;
 MINSDTF_SELFCHECK=0 skips. Weights are seeded-random (zero-egress env) — identical
@@ -227,7 +230,7 @@ def main():
                     post(s)
 
             post(51)  # warm the daemon path (program already compiled+staged)
-            n_req, n_cli = 6, 3
+            n_req, n_cli = 8, 4  # enough concurrency for request merging to engage
             threads = [
                 threading.Thread(target=client,
                                  args=([61 + c + n_cli * i for i in range(n_req // n_cli)],))
@@ -257,6 +260,15 @@ def main():
                                      num_steps=steps, seed=9)
             jax.block_until_ready(img)
             result_extra["e2e_prompt"] = round(time.perf_counter() - t0, 4)
+            # 1024px 25-step batch-1 (bf16, last so a failure costs nothing else):
+            # the long-context differentiator — the reference's materialized
+            # O(S^2) softmax cannot run 16k-token self-attention on one device;
+            # the online flash kernel can (SURVEY §5; diffusion_model.py:123-126).
+            # Hybrid scales are 512px-calibrated, so this config publishes bf16.
+            hi_pipe = StableDiffusion(img_height=1024, img_width=1024)
+            th = _time_runs(jax, lambda s: run(s, p=hi_pipe), 2, (1,),
+                            [(2,), (3,), (4,)])
+            result_extra["hires1024"] = round(float(np.median(th)), 4)
           except Exception as e:
             # partial extras stay in result_extra; the error is published so a
             # missing field is diagnosable from BENCH_r*.json alone

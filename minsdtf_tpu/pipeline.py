@@ -123,6 +123,15 @@ class StableDiffusion:
     ):
         self.img_height = int(img_height)
         self.img_width = int(img_width)
+        # The UNet downsamples the /8 latent 3 more times; sizes not divisible by
+        # 64 break the skip-concat shapes deep in the graph. The reference's docs
+        # claim rounding (stable_diffusion.py:589-593) but its code does not —
+        # its GUI just steps the sliders by 64 (app.py:172,181). Fail loud here.
+        for name, v in (("img_height", self.img_height), ("img_width", self.img_width)):
+            if v <= 0 or v % 64:
+                raise ValueError(
+                    f"{name}={v} is not a positive multiple of 64; the UNet's "
+                    "downsampling stack requires image sides divisible by 64")
         self.clip_skip = int(clip_skip)
         # prediction_type="v": v-objective checkpoints (arXiv:2202.00512; many
         # modern SD1.5-architecture finetunes) — the sampler converts the model

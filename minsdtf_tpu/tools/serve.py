@@ -227,6 +227,15 @@ class BatchingWorker:
             (batch if self._merge_key(r.payload) == key else keep).append(r)
         keep.extend(self._pending)
         self._pending = keep
+        # Quantize to a power of two: every distinct batch size is its own XLA
+        # program (minutes of compile through this backend) — {1,2,4,8} bounds
+        # the program set. Overflow requests go back to the FRONT of pending in
+        # order; they lead the next batch.
+        take = 1 << (len(batch).bit_length() - 1)
+        if take < len(batch):
+            for r in reversed(batch[take:]):
+                self._pending.appendleft(r)
+            batch = batch[:take]
         return batch
 
     def _run(self):

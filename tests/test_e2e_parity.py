@@ -14,6 +14,8 @@ import pytest
 
 pytestmark = pytest.mark.oracle  # heavy Keras/TF/torch oracle - excluded from the fast tier
 
+import os
+
 import numpy as np
 import pytest
 
@@ -23,9 +25,12 @@ from minsdtf_tpu.models import unet as unet_lib
 from minsdtf_tpu.models import vae as vae_lib
 from minsdtf_tpu.weights import convert
 
-IMG = 128
+# Default gate config: 128px/3-step keeps the 4-test module ~70 min on the 1-core
+# oracle host. E2E_IMG=256 E2E_STEPS=8 is the recorded larger-config run
+# (VERDICT r3 #6; results in ROADMAP r4) — same tests, bigger shapes.
+IMG = int(os.environ.get("E2E_IMG", 128))
 LAT = IMG // 8
-STEPS = 3
+STEPS = int(os.environ.get("E2E_STEPS", 3))
 
 
 @pytest.fixture(scope="module")
@@ -120,8 +125,8 @@ def test_img2img_parity(ref_pipe, our_pipe):
     encoded, noise = _fixed_inputs(1)
     rng = np.random.RandomState(2)
     ref_image = rng.randint(0, 256, (IMG, IMG, 3)).astype(np.uint8)
-    kw = dict(num_steps=4, unconditional_guidance_scale=7.5, guidance_rescale=0.0,
-              diffusion_noise=noise, reference_image=ref_image,
+    kw = dict(num_steps=max(4, STEPS), unconditional_guidance_scale=7.5,
+              guidance_rescale=0.0, diffusion_noise=noise, reference_image=ref_image,
               reference_image_strength=0.6)
     ref_img = ref.generate_image(encoded, **kw)
     our_img, our_latent = our_pipe.generate_image(encoded, return_latent=True, **kw)
@@ -137,8 +142,8 @@ def test_inpaint_parity(ref_pipe, our_pipe):
     rng = np.random.RandomState(4)
     ref_image = rng.randint(0, 256, (IMG, IMG, 3)).astype(np.uint8)
     mask = np.zeros((IMG, IMG), dtype=np.uint8)
-    mask[32:96, 32:96] = 255
-    kw = dict(num_steps=4, unconditional_guidance_scale=7.5, guidance_rescale=0.0,
+    mask[IMG // 4 : 3 * IMG // 4, IMG // 4 : 3 * IMG // 4] = 255
+    kw = dict(num_steps=max(4, STEPS), unconditional_guidance_scale=7.5, guidance_rescale=0.0,
               diffusion_noise=noise, reference_image=ref_image,
               reference_image_strength=0.6, inpaint_mask=mask, mask_blur_strength=5)
     ref_img = ref.generate_image(encoded, **kw)

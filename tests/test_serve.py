@@ -195,15 +195,16 @@ def test_worker_merges_compatible_requests():
     try:
         assert worker.served == 4
         assert worker.merged_batches == 1
-        # one batch-3 dispatch (steps=4 trio) + one solo (steps=9)
+        # batch sizes quantize to powers of two: the steps=4 trio dispatches as
+        # one batch-2 + one solo; the steps=9 request dispatches solo.
         sizes = sorted(b for _, b, _ in pipe.dispatched)
-        assert sizes == [1, 3]
-        merged = next(d for d in pipe.dispatched if d[1] == 3)
-        assert merged[0] == 3                      # stacked contexts
-        assert merged[2] == (3, 8, 8, 4)           # per-seed noise rows
+        assert sizes == [1, 1, 2]
+        merged = next(d for d in pipe.dispatched if d[1] == 2)
+        assert merged[0] == 2                      # stacked contexts
+        assert merged[2] == (2, 8, 8, 4)           # per-seed noise rows
         assert all(results[i].shape == (1, 8, 8, 3) for i in range(4))
         rows = sorted(int(results[i][0, 0, 0, 0]) for i in range(3))
-        assert rows == [0, 1, 2]                   # each caller got its own row
+        assert rows == [0, 0, 1]                   # merged callers got own rows
     finally:
         worker.stop()
 
