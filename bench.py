@@ -10,10 +10,11 @@ achieved fraction of the analytic speed-of-light for this workload on the local 
 ``value`` is the MEDIAN of repeats (typical throughput); min/max expose the measured
 ±5% tunnel jitter. Extra fields published every run (VERDICT r1 #8):
 
-  - ``bf16``: the exact-bf16 configuration's s/img, alongside the int8-hybrid
-    headline (the default headline config quantizes calibration-stable conv
-    sites to int8 with baked static scales — weights/quantize.hybridize_params;
-    BENCH_WEIGHT_DTYPE=bf16 makes bf16 the headline instead);
+  - ``bf16`` / ``int8_hybrid``: the OTHER dtype configuration's s/img, alongside
+    the headline. The headline dtype is decided by the committed quality dossier
+    (fixtures/quality_dossier_r4.json): int8-hybrid (stable-site W8A8, baked
+    static scales) headlines only if its per-step prefix-divergence verdict
+    passed; otherwise bf16 headlines. BENCH_WEIGHT_DTYPE overrides;
   - ``e2e_prompt``: full prompt -> image seconds (tokenize + LPW + CLIP + sampler),
     vs the headline which times ``generate_image`` from a precomputed context;
   - ``throughput_b8``: batch-8 s/img, the serving-throughput configuration;
@@ -81,6 +82,21 @@ def _time_runs(jax, fn, repeats, warm_args, timed_args):
     return times[1:]
 
 
+def headline_weight_dtype(repo_dir=None):
+    """The headline dtype is a MEASURED decision, not a preference: int8-hybrid
+    headlines only if the committed prefix-divergence quality dossier
+    (fixtures/quality_dossier_r4.json, experiments/quality_dossier.py) passed
+    all four criteria; otherwise exact bf16 headlines and the hybrid time is
+    published alongside. BENCH_WEIGHT_DTYPE overrides either way."""
+    here = repo_dir or os.path.dirname(os.path.abspath(__file__))
+    try:
+        with open(os.path.join(here, "fixtures", "quality_dossier_r4.json")) as f:
+            ok = bool(json.load(f)["verdicts"]["all_pass"])
+    except Exception:
+        ok = False  # unproven quality never headlines
+    return os.environ.get("BENCH_WEIGHT_DTYPE", "int8_hybrid" if ok else "bf16")
+
+
 def _synthetic_merges():
     """Write a tiny CLIP-format merges file (version header + ranked merges) to a
     temp dir, mirroring tests/test_prompt_weighting.py — lets the e2e_prompt field
@@ -123,17 +139,18 @@ def main():
 
         from minsdtf_tpu.pipeline import StableDiffusion
 
-        # Headline config: int8_hybrid — stable-conv-site-only W8A8 with baked
-        # static activation scales (weights/quantize.hybridize_params; measured
-        # 0.4315 vs 0.4840 s/img bf16 at 512px, ROADMAP r3). The committed scales
-        # fixture was calibrated on the same seeded-random weights bench uses, so
-        # it transfers exactly. BENCH_WEIGHT_DTYPE=bf16 forces the exact-bf16
-        # config; non-512 sizes and TCD mode stay bf16 (the fixture's trajectory
+        # Headline config: decided by the committed quality dossier
+        # (fixtures/quality_dossier_r4.json, experiments/quality_dossier.py —
+        # the per-step prefix-divergence protocol of VERDICT r3 #1). int8_hybrid
+        # (stable-conv-site-only W8A8, baked static scales; 0.43 vs 0.48 s/img
+        # bf16) keeps the headline ONLY if the dossier's all_pass verdict holds;
+        # otherwise the headline is exact bf16 and the hybrid time is published
+        # alongside as the `int8_hybrid` field. BENCH_WEIGHT_DTYPE overrides.
+        # Non-512 sizes and TCD mode stay bf16 (the scales fixture's trajectory
         # amax values are resolution- and schedule-specific).
-        scales_fixture = os.path.join(
-            os.path.dirname(os.path.abspath(__file__)),
-            "fixtures", "hybrid_scales_random512.npz")
-        wd = os.environ.get("BENCH_WEIGHT_DTYPE", "int8_hybrid")
+        here = os.path.dirname(os.path.abspath(__file__))
+        scales_fixture = os.path.join(here, "fixtures", "hybrid_scales_random512.npz")
+        wd = headline_weight_dtype(here)
         use_hybrid = (wd == "int8_hybrid" and size == 512 and not tcd
                       and os.path.exists(scales_fixture))
         pipe = StableDiffusion(
@@ -162,6 +179,15 @@ def main():
                 tb = _time_runs(jax, lambda s: run(s, p=bf16_pipe), 3, (1,),
                                 [(2,), (3,), (4,), (5,)])
                 result_extra["bf16"] = round(float(np.median(tb)), 4)
+            elif os.path.exists(scales_fixture):
+                # the hybrid config alongside the bf16 headline: faster but its
+                # quality dossier did not pass, so it is opt-in serving only
+                hy_pipe = StableDiffusion(
+                    img_height=size, img_width=size, weight_dtype="int8_hybrid",
+                    int8_act_scales=scales_fixture)
+                thy = _time_runs(jax, lambda s: run(s, p=hy_pipe), 3, (1,),
+                                 [(2,), (3,), (4,), (5,)])
+                result_extra["int8_hybrid"] = round(float(np.median(thy)), 4)
             # batch-8 serving throughput (same program, batched); 3 kept reps
             t8 = _time_runs(jax, lambda s: run(s, b=8), 3, (1,), [(2,), (3,), (4,), (5,)])
             result_extra["throughput_b8"] = round(float(np.median(t8)) / 8, 4)

@@ -27,8 +27,11 @@ def main():
     from minsdtf_tpu import rng as rng_lib
     from minsdtf_tpu.pipeline import StableDiffusion
 
+    # mirror bench.py's headline decision (quality dossier gates int8-hybrid)
+    import bench
     scales = os.path.join(REPO, "fixtures", "hybrid_scales_random512.npz")
-    use_hybrid = size == 512 and os.path.exists(scales)
+    wd = bench.headline_weight_dtype(REPO)
+    use_hybrid = wd == "int8_hybrid" and size == 512 and os.path.exists(scales)
     pipe = StableDiffusion(
         img_height=size, img_width=size,
         weight_dtype="int8_hybrid" if use_hybrid else None,

@@ -100,7 +100,8 @@ def constrain_tokens(x: jax.Array) -> jax.Array:
     )
 
 
-def _pick_impl(q_len: int, kv_len: int, head_dim: int, causal: bool) -> str:
+def _pick_impl(q_len: int, kv_len: int, head_dim: int, causal: bool,
+               itemsize: int = 2) -> str:
     if _IMPL != "auto":
         return _IMPL
     try:
@@ -111,7 +112,7 @@ def _pick_impl(q_len: int, kv_len: int, head_dim: int, causal: bool) -> str:
         return "xla"
     from minsdtf_tpu.ops import flash_attention as fa
 
-    return "pallas" if fa.supports(q_len, kv_len, head_dim, causal) else "xla"
+    return "pallas" if fa.supports(q_len, kv_len, head_dim, causal, itemsize) else "xla"
 
 
 def multi_head_attention(
@@ -143,7 +144,7 @@ def multi_head_attention(
             return ring_multi_head_attention(q, k, v, num_heads, mesh, axis_name,
                                              scale=scale)
 
-    impl = _pick_impl(sq, sk, d, causal)
+    impl = _pick_impl(sq, sk, d, causal, jnp.dtype(q.dtype).itemsize)
     qh = q.reshape(b, sq, num_heads, d)
     kh = k.reshape(b, sk, num_heads, d)
     vh = v.reshape(b, sk, num_heads, d)

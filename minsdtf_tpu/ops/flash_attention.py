@@ -33,27 +33,30 @@ MAX_BLOCK_K = 2048
 MAX_BLOCK_Q = 2048
 
 
-def _pick_blocks(q_len: int, kv_len: int, head_dim: int = 128):
+def _pick_blocks(q_len: int, kv_len: int, head_dim: int = 128, itemsize: int = 2):
     """(block_q, block_k) maximizing work per grid step under the VMEM budget.
 
     head_dim matters: Mosaic double-buffers the K/V input blocks, whose VMEM cost is
-    ``2 (K,V) * 2 (buffers) * block_k * pad128(d) * 2 B`` — at d=512 (the VAE's
+    ``2 (K,V) * 2 (buffers) * block_k * pad128(d) * itemsize`` — at d=512 (the VAE's
     single-head spatial attention, 2048px images) that alone is 8 MB at block_k 2048,
     so the scores budget must shrink accordingly or the kernel overflows the 16 MB
-    scoped VMEM (hit at 65536 tokens in r2)."""
+    scoped VMEM (hit at 65536 tokens in r2). ``itemsize`` is the input dtype's
+    (fp32 parity/dossier runs double the K/V and p-copy footprints — VMEM OOM at
+    the bf16-tuned blocks, hit by the r4 quality dossier's fp32 512px leg)."""
     # Mosaic pads the lane axis to a multiple of 128 — round UP (128 < d <= 256
     # occupies 256 lanes, not d).
     dpad = -(-head_dim // 128) * 128
+    budget = SCORES_BUDGET_BYTES if itemsize <= 2 else SCORES_BUDGET_BYTES // 2
     block_k = kv_len
     if block_k > MAX_BLOCK_K:
         block_k = MAX_BLOCK_K
         while kv_len % block_k != 0 and block_k > 128:
             block_k //= 2
     # keep K/V double-buffers within half the budget; shrink block_k if oversized
-    while block_k > 128 and 2 * 2 * block_k * dpad * 2 > SCORES_BUDGET_BYTES:
+    while block_k > 128 and 2 * 2 * block_k * dpad * itemsize > budget:
         block_k //= 2
-    kv_bytes = 2 * 2 * block_k * dpad * 2
-    budget_q = max(0, SCORES_BUDGET_BYTES - kv_bytes) // (4 * block_k)
+    kv_bytes = 2 * 2 * block_k * dpad * itemsize
+    budget_q = max(0, budget - kv_bytes) // (4 * block_k)
     pow2 = 128
     while pow2 * 2 <= min(budget_q, MAX_BLOCK_Q):
         pow2 *= 2
@@ -63,16 +66,17 @@ def _pick_blocks(q_len: int, kv_len: int, head_dim: int = 128):
     return block_q, block_k
 
 
-def supports(q_len: int, kv_len: int, head_dim: int, causal: bool = False) -> bool:
+def supports(q_len: int, kv_len: int, head_dim: int, causal: bool = False,
+             itemsize: int = 2) -> bool:
     if causal:
         return False
     # Short-KV (cross-attention vs the 77-308 token text context) is measured faster
     # on the XLA einsum path (the score matrix is small; kernel overhead dominates).
     if kv_len < 512:
         return False
-    if _use_onepass(q_len, kv_len, head_dim):
+    if _use_onepass(q_len, kv_len, head_dim, itemsize):
         return True
-    block_q, block_k = _pick_blocks(q_len, kv_len, head_dim)
+    block_q, block_k = _pick_blocks(q_len, kv_len, head_dim, itemsize)
     return q_len % block_q == 0 and (kv_len == block_k or kv_len % block_k == 0)
 
 
@@ -91,18 +95,22 @@ ONEPASS_MAX_D = 160
 ONEPASS_SCORES_BYTES = 8 * 1024 * 1024
 
 
-def _use_onepass(q_len: int, kv_len: int, head_dim: int) -> bool:
+def _use_onepass(q_len: int, kv_len: int, head_dim: int, itemsize: int = 2) -> bool:
     if os.environ.get("MINSDTF_FLASH_ONEPASS", "1") != "1":
         return False
     if kv_len > ONEPASS_MAX_KV or head_dim > ONEPASS_MAX_D:
         return False
-    return _onepass_block_q(q_len, kv_len) is not None
+    return _onepass_block_q(q_len, kv_len, itemsize) is not None
 
 
-def _onepass_block_q(q_len: int, kv_len: int):
+def _onepass_block_q(q_len: int, kv_len: int, itemsize: int = 2):
     """Largest power-of-two q block whose fp32 scores fit the VMEM budget and that
-    divides q_len; None if no valid block exists."""
-    budget = ONEPASS_SCORES_BYTES // (4 * kv_len)
+    divides q_len; None if no valid block exists. fp32 inputs (itemsize 4) halve
+    the budget: the exp2 output p stays fp32 instead of casting down to bf16, and
+    the K/V row buffers double — measured 21.2 MB scoped VMEM (>16 limit) at the
+    bf16-tuned block_q 512, kv 4096 (r4 dossier fp32 leg)."""
+    scores_bytes = ONEPASS_SCORES_BYTES if itemsize <= 2 else ONEPASS_SCORES_BYTES // 2
+    budget = scores_bytes // (4 * kv_len)
     block = 64
     while block * 2 <= min(budget, MAX_BLOCK_Q, q_len):
         block *= 2
@@ -209,9 +217,10 @@ def flash_attention(
         return x.transpose(0, 2, 1, 3).reshape(b * h, s, x.shape[-1])
 
     qf, kf, vf = fold(q, sq), fold(k, sk), fold(v, sk)
+    itemsize = q.dtype.itemsize
 
-    if _use_onepass(sq, sk, d):
-        block_q = _onepass_block_q(sq, sk)
+    if _use_onepass(sq, sk, d, itemsize):
+        block_q = _onepass_block_q(sq, sk, itemsize)
         out = pl.pallas_call(
             functools.partial(_onepass_kernel, scale=scale, d=d),
             grid=(b * h, sq // block_q),
@@ -226,7 +235,7 @@ def flash_attention(
         )(qf, kf, vf)
         return out.reshape(b, h, sq, d).transpose(0, 2, 1, 3)
 
-    block_q, block_k = _pick_blocks(sq, sk, d)
+    block_q, block_k = _pick_blocks(sq, sk, d, itemsize)
     assert sq % block_q == 0 and (sk == block_k or sk % block_k == 0)
     kv_blocks = pl.cdiv(sk, block_k)
 
