@@ -127,20 +127,37 @@ def main():
             guidance_rescale=0.7, diffusion_noise=nz, return_trajectory=True)
         return np.asarray(img, np.float64), np.asarray(traj, np.float64)
 
+    scales = os.environ.get("DOSSIER_SCALES", SCALES)
     pipes = {
-        "bf16": StableDiffusion(img_height=size, img_width=size),
-        "fp32": StableDiffusion(img_height=size, img_width=size,
-                                compute_dtype=jnp.float32),
         "hybrid": StableDiffusion(img_height=size, img_width=size,
                                   weight_dtype="int8_hybrid",
-                                  int8_act_scales=SCALES),
+                                  int8_act_scales=scales),
     }
+    # The bf16/fp32/ulp reference legs are INDEPENDENT of the quantization
+    # config — cache them so hybridize-config sweeps (equalization alpha, clip,
+    # site budget) only pay for the hybrid leg (one 25-step trajectory each).
+    cache = f"/tmp/dossier_refs_{size}_{steps}.npz"
     runs = {}
-    for name, pipe in pipes.items():
-        print(f"[dossier] running {name} ({size}px, {steps} steps)...", flush=True)
-        runs[name] = gen(pipe, noise)
-    print("[dossier] running ulp...", flush=True)
-    runs["ulp"] = gen(pipes["bf16"], noise_ulp)
+    if os.path.exists(cache) and os.environ.get("DOSSIER_CACHE", "1") == "1":
+        z = np.load(cache)
+        for name in ("bf16", "fp32", "ulp"):
+            runs[name] = (z[name + "_img"], z[name + "_traj"])
+        print(f"[dossier] loaded reference legs from {cache}", flush=True)
+    else:
+        pipes["bf16"] = StableDiffusion(img_height=size, img_width=size)
+        pipes["fp32"] = StableDiffusion(img_height=size, img_width=size,
+                                        compute_dtype=jnp.float32)
+        for name in ("bf16", "fp32"):
+            print(f"[dossier] running {name} ({size}px, {steps} steps)...",
+                  flush=True)
+            runs[name] = gen(pipes[name], noise)
+        print("[dossier] running ulp...", flush=True)
+        runs["ulp"] = gen(pipes["bf16"], noise_ulp)
+        np.savez(cache, **{name + "_img": runs[name][0] for name in runs},
+                 **{name + "_traj": runs[name][1] for name in runs})
+        print(f"[dossier] cached reference legs to {cache}", flush=True)
+    print(f"[dossier] running hybrid ({size}px, {steps} steps)...", flush=True)
+    runs["hybrid"] = gen(pipes["hybrid"], noise)
 
     norm = np.mean(runs["bf16"][1] ** 2, axis=(1, 2, 3, 4))  # E[bf16_k^2] per step
     curves = {}
@@ -178,22 +195,28 @@ def main():
     # committed scales fixture is calibrated on DDIM-25 trajectories and the TCD
     # schedule's activation ranges are out of its calibration set.
     serving = {}
-    try:
-        print("[dossier] serving configs (b8, dpm15)...", flush=True)
-        nz8 = np.repeat(noise, 8, axis=0)
-        img8h, _ = gen(pipes["hybrid"], nz8, batch=8)
-        img8b, _ = gen(pipes["bf16"], nz8, batch=8)
-        serving["psnr_b8_hybrid_bf16"] = psnr(img8h[0], img8b[0])
-        serving["ssim_b8_hybrid_bf16"] = ssim(img8h[0], img8b[0])
-        dpm_h = StableDiffusion(img_height=size, img_width=size, scheduler_type="dpm",
-                                weight_dtype="int8_hybrid", int8_act_scales=SCALES)
-        dpm_b = StableDiffusion(img_height=size, img_width=size, scheduler_type="dpm")
-        di_h, _ = gen(dpm_h, noise, n=15)
-        di_b, _ = gen(dpm_b, noise, n=15)
-        serving["psnr_dpm15_hybrid_bf16"] = psnr(di_h, di_b)
-        serving["ssim_dpm15_hybrid_bf16"] = ssim(di_h, di_b)
-    except Exception as e:  # serving rows are best-effort extras
-        serving["error"] = f"{type(e).__name__}: {e}"[:200]
+    if os.environ.get("DOSSIER_SERVING", "1") == "1":
+        try:
+            print("[dossier] serving configs (b8, dpm15)...", flush=True)
+            bf16_pipe = pipes.get("bf16") or StableDiffusion(
+                img_height=size, img_width=size)
+            nz8 = np.repeat(noise, 8, axis=0)
+            img8h, _ = gen(pipes["hybrid"], nz8, batch=8)
+            img8b, _ = gen(bf16_pipe, nz8, batch=8)
+            serving["psnr_b8_hybrid_bf16"] = psnr(img8h[0], img8b[0])
+            serving["ssim_b8_hybrid_bf16"] = ssim(img8h[0], img8b[0])
+            dpm_h = StableDiffusion(img_height=size, img_width=size,
+                                    scheduler_type="dpm",
+                                    weight_dtype="int8_hybrid",
+                                    int8_act_scales=scales)
+            dpm_b = StableDiffusion(img_height=size, img_width=size,
+                                    scheduler_type="dpm")
+            di_h, _ = gen(dpm_h, noise, n=15)
+            di_b, _ = gen(dpm_b, noise, n=15)
+            serving["psnr_dpm15_hybrid_bf16"] = psnr(di_h, di_b)
+            serving["ssim_dpm15_hybrid_bf16"] = ssim(di_h, di_b)
+        except Exception as e:  # serving rows are best-effort extras
+            serving["error"] = f"{type(e).__name__}: {e}"[:200]
 
     out = {
         "config": {"size": size, "steps": steps, "weights": "seeded-random",
@@ -205,7 +228,7 @@ def main():
     }
     print(json.dumps({"images": images, "serving": serving, "verdicts": verdicts},
                      indent=2))
-    if size == 512 and steps == 25:
+    if size == 512 and steps == 25 and os.environ.get("DOSSIER_NO_WRITE") != "1":
         path = os.path.join(REPO, "fixtures", "quality_dossier_r4.json")
         with open(path, "w") as f:
             json.dump(out, f, indent=1)

@@ -36,7 +36,22 @@ _INT8_BLOCKS = os.environ.get("MINSDTF_INT8_BLOCKS", "auto")
 _FLOAT_BLOCKS = os.environ.get("MINSDTF_FLOAT_BLOCKS", "auto")
 
 
-def _resolve_blocks(setting: str, batch: int) -> int:
+def _parse_blocks_map(setting: str) -> dict:
+    """``"64:16,32:8,*:auto"`` -> {64: "16", 32: "8", "*": "auto"} (cached)."""
+    m = _BLOCKS_MAP_CACHE.get(setting)
+    if m is None:
+        m = {}
+        for part in setting.split(","):
+            k, v = part.split(":")
+            m["*" if k.strip() == "*" else int(k)] = v.strip()
+        _BLOCKS_MAP_CACHE[setting] = m
+    return m
+
+
+_BLOCKS_MAP_CACHE: dict = {}
+
+
+def _resolve_blocks(setting: str, batch: int, hout: Optional[int] = None) -> int:
     """Batch-adaptive fold count for :func:`_blocked_conv`.
 
     The folding exists to fill the MXU sublanes when the conv batch is small;
@@ -50,7 +65,14 @@ def _resolve_blocks(setting: str, batch: int) -> int:
     none from batch 8 up, ~32/batch rows between — rounded DOWN to a power of
     two so the count survives _blocked_conv's power-of-two divisibility guard
     (SD conv output heights are 8/16/32/64: a fold count of 10 or 6 would
-    silently collapse to 2 there, far from the ~32-rows-in-batch target)."""
+    silently collapse to 2 there, far from the ~32-rows-in-batch target).
+
+    A map setting ``"64:16,32:8,*:auto"`` picks the count by conv OUTPUT height
+    (per-resolution sweeps — the UNet runs the same conv shapes at 4
+    resolutions and one global count need not fit all); ``*`` is the fallback."""
+    if ":" in setting:
+        m = _parse_blocks_map(setting)
+        setting = m.get(hout, m.get("*", "auto"))
     if setting != "auto":
         return int(setting)
     if batch >= 8:
@@ -89,14 +111,30 @@ def _quantize_acts(x: jax.Array, p: dict, axes) -> Tuple[jax.Array, jax.Array]:
     When the module carries a calibrated ``act_scale`` (weights/calibrate.py) the
     amax pass disappears: quantization is a single clipped round that fuses into
     the producer (the dynamic amax reduce alone measured 54 ms/gen of the int8
-    e2e device time — r3 trace bucket `convert_reduce_fusion`)."""
+    e2e device time — r3 trace bucket `convert_reduce_fusion`).
+
+    An ``act_qmul`` leaf (per-INPUT-channel fp32 vector, weights/quantize.py
+    equalization) replaces the scalar ``1/act_scale`` multiply with a broadcast
+    vector multiply — SmoothQuant-style per-channel quantization grids at the
+    exact same VPU cost (the compensating channel factors are folded into the
+    int8 weights, so the epilogue rescale stays ``act_scale * kernel_scale``)."""
     xf = x.astype(jnp.float32)
     if _CALIB_TAPE is not None:
-        amax_scalar = jnp.max(jnp.abs(xf))
         if "names" in _CALIB_TAPE:
             _CALIB_TAPE["names"].append(_CALIB_TAPE["id_to_name"].get(id(p)))
         if "values" in _CALIB_TAPE:
-            _CALIB_TAPE["values"].append(amax_scalar)
+            ch_axes = tuple(range(xf.ndim - 1))  # all but the channel/contraction axis
+            absx = jnp.abs(xf)
+            _CALIB_TAPE["values"].append({
+                "amax": jnp.max(absx),
+                "ch_amax": jnp.max(absx, axis=ch_axes),
+                "ch_mean": jnp.mean(xf, axis=ch_axes),
+                "ch_msq": jnp.mean(jnp.square(xf), axis=ch_axes),
+            })
+    if "act_qmul" in p:
+        asc = p["act_scale"].astype(jnp.float32)
+        xq = jnp.clip(jnp.round(xf * p["act_qmul"].astype(jnp.float32)), -127, 127)
+        return xq.astype(jnp.int8), asc
     if "act_scale" in p:
         asc = p["act_scale"].astype(jnp.float32)
         xq = jnp.clip(jnp.round(xf * (1.0 / asc)), -127, 127).astype(jnp.int8)
@@ -159,9 +197,11 @@ def conv2d(x: jax.Array, p: dict, stride: int = 1, padding: Padding = 0) -> jax.
         pad = ((padding, padding), (padding, padding))
     else:
         pad = tuple((int(a), int(b)) for a, b in padding)
+    kh = (p["kernel_q"] if "kernel_q" in p else p["kernel"]).shape[0]
+    hout = (x.shape[1] + pad[0][0] + pad[0][1] - kh) // stride + 1
     if "kernel_q" in p:
         xq, asc = _quantize_acts(x, p, axes=(1, 2, 3))
-        nb_int8 = _resolve_blocks(_INT8_BLOCKS, x.shape[0])
+        nb_int8 = _resolve_blocks(_INT8_BLOCKS, x.shape[0], hout)
         if nb_int8 > 1:
             out = _blocked_conv(xq, p["kernel_q"], stride, pad, nb_int8)
         else:
@@ -179,9 +219,14 @@ def conv2d(x: jax.Array, p: dict, stride: int = 1, padding: Padding = 0) -> jax.
             # no-change e2e on its own); kept as an A/B knob.
             out = jax.lax.optimization_barrier(out)
         out = (out.astype(jnp.float32) * (asc * p["kernel_scale"])).astype(x.dtype)
+        if _CALIB_TAPE is not None and "values" in _CALIB_TAPE:
+            # pre-bias output power: denominator of the per-site relative-MSE
+            # estimate (weights/quantize._site_rel_mse)
+            _CALIB_TAPE["values"][-1]["out_msq"] = jnp.mean(
+                jnp.square(out.astype(jnp.float32)))
     else:
         kernel = p["kernel"].astype(x.dtype)
-        nb_float = _resolve_blocks(_FLOAT_BLOCKS, x.shape[0])
+        nb_float = _resolve_blocks(_FLOAT_BLOCKS, x.shape[0], hout)
         if nb_float > 1 and x.dtype != jnp.float32:
             out = _blocked_conv(
                 x, kernel, stride, pad, nb_float,
@@ -214,6 +259,9 @@ def dense(x: jax.Array, p: dict) -> jax.Array:
             preferred_element_type=jnp.int32,
         )
         out = (y.astype(jnp.float32) * (asc * p["kernel_scale"])).astype(x.dtype)
+        if _CALIB_TAPE is not None and "values" in _CALIB_TAPE:
+            _CALIB_TAPE["values"][-1]["out_msq"] = jnp.mean(
+                jnp.square(out.astype(jnp.float32)))
     else:
         out = jnp.dot(
             x,

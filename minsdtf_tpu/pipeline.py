@@ -170,6 +170,17 @@ class StableDiffusion:
         # could silently flip the config between lazy param materialization and a
         # later calibrate_int8() (ADVICE r3).
         self._hybrid_dense = os.environ.get("MINSDTF_HYBRID_DENSE", "0") == "1"
+        # int8_hybrid quality knobs (weights/quantize.hybridize_params v2), all
+        # read once here for the same reason. Defaults = the dossier-winning
+        # config; set a knob to "none"/"0" to A/B the v1 behavior.
+        _f = lambda k, d: (None if os.environ.get(k, d).lower() == "none"
+                           else float(os.environ.get(k, d)))
+        self._hybrid_cfg = {
+            "equalize_alpha": _f("MINSDTF_HYBRID_ALPHA", "0.5"),
+            "clip_sigmas": _f("MINSDTF_HYBRID_CLIP", "none"),
+            "bias_correct": os.environ.get("MINSDTF_HYBRID_BIASCORR", "1") == "1",
+            "max_site_rel_mse": _f("MINSDTF_HYBRID_MAX_ERR", "none"),
+        }
         # Sequence parallelism: shard the self-attention token axis over the mesh's
         # `model` axis via ring attention (ops/ring_attention.py) for >=1024px
         # generation. Weights are then REPLICATED (the model axis carries tokens,
@@ -335,7 +346,7 @@ class StableDiffusion:
                 # int8_act_scales is absent.
                 params = quantize.hybridize_params(
                     params, self._int8_act_scales or {},
-                    dense_dynamic=self._hybrid_dense,
+                    dense_dynamic=self._hybrid_dense, **self._hybrid_cfg,
                 )
             self._unet_params = self._shard(self._cast(params))
         return self._unet_params
@@ -949,22 +960,15 @@ class StableDiffusion:
                 guidance_scale=unconditional_guidance_scale,
                 guidance_rescale=guidance_rescale,
             )
-            for k, v in got.items():
-                cur = amax.get(k)
-                if cur is None:
-                    amax[k] = dict(v)
-                else:
-                    # fold min/max across seeds so the stability ratio covers
-                    # the union of all calibration trajectories
-                    amin = min(cur["amax"] / cur["ratio"], v["amax"] / v["ratio"])
-                    cur["amax"] = max(cur["amax"], v["amax"])
-                    cur["ratio"] = cur["amax"] / max(amin, 1e-9)
+            # fold across seeds: worst-case maxima, union stability ratio,
+            # averaged channel moments (weights/calibrate.merge_stats)
+            _cal.merge_stats(amax, got)
         if self.weight_dtype == "int8_hybrid":
             from minsdtf_tpu.weights import quantize as _q
 
             self._unet_params = _q.hybridize_params(
                 self.unet_params, amax, margin=margin,
-                dense_dynamic=self._hybrid_dense,
+                dense_dynamic=self._hybrid_dense, **self._hybrid_cfg,
             )
         else:
             self._unet_params = _cal.bake_act_scales(

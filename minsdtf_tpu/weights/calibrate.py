@@ -91,21 +91,57 @@ def collect_unet_amax(
             eps = unet_lib.apply(p, lat, te, ctx)
         finally:
             basic.set_calibration_tape(None)
-        return eps, tape["values"]
+        vals = tape["values"]
+        # pack into 3 flat arrays: every device->host fetch through the axon
+        # tunnel pays ~27 ms fixed RTT, so ~4 transfers/step instead of ~360
+        scalars = jnp.stack(
+            [v["amax"] for v in vals] + [v.get("out_msq", 0.0) for v in vals])
+        chcat = jnp.concatenate(
+            [v[k] for v in vals for k in ("ch_amax", "ch_mean", "ch_msq")])
+        return eps, scalars, chcat
+
+    # per-site input-channel counts (to split the packed ch stats): conv kernels
+    # are HWIO (in = axis 2), dense (in, out)
+    def _cin(name):
+        k = params[name].get("kernel_q", params[name].get("kernel"))
+        return int(k.shape[2] if k.ndim == 4 else k.shape[0])
+
+    sizes = [_cin(n) for n in names]
+    offsets = np.cumsum([0] + [3 * s for s in sizes])
 
     latent = np.asarray(latent0, np.float32)
-    acc_max: Optional[np.ndarray] = None
-    acc_min: Optional[np.ndarray] = None
+    acc: Optional[list] = None  # per-site running stats across steps
     n_steps = t_embs.shape[0]
     for i in range(n_steps):
         lat_in = jnp.asarray(np.concatenate([latent, latent], axis=0), latent0.dtype)
         te = jnp.broadcast_to(
             jnp.asarray(t_embs[i], latent0.dtype)[None, :], (2 * b, t_embs.shape[1])
         )
-        eps_pair, vals = step(params, lat_in, te, ctx_pair)
-        vals = np.asarray(jnp.stack(vals), np.float32)
-        acc_max = vals if acc_max is None else np.maximum(acc_max, vals)
-        acc_min = vals if acc_min is None else np.minimum(acc_min, vals)
+        eps_pair, scalars, chcat = step(params, lat_in, te, ctx_pair)
+        scalars = np.array(scalars, np.float32)
+        chcat = np.array(chcat, np.float32)
+        n = len(names)
+        vals = []
+        for j in range(n):
+            s = sizes[j]
+            block = chcat[offsets[j]:offsets[j + 1]]
+            vals.append({
+                "amax": float(scalars[j]),
+                "out_msq": float(scalars[n + j]),
+                "ch_amax": block[:s].copy(),
+                "ch_mean": block[s:2 * s].copy(),
+                "ch_msq": block[2 * s:].copy(),
+            })
+        if acc is None:
+            acc = [dict(v, amin=v["amax"]) for v in vals]
+        else:
+            for cur, v in zip(acc, vals):
+                cur["amax"] = max(cur["amax"], v["amax"])
+                cur["amin"] = min(cur["amin"], v["amax"])
+                np.maximum(cur["ch_amax"], v["ch_amax"], out=cur["ch_amax"])
+                cur["ch_mean"] += v["ch_mean"]
+                cur["ch_msq"] += v["ch_msq"]
+                cur["out_msq"] += v["out_msq"]
         eps_pair = np.asarray(eps_pair, np.float32)
         uncond_eps, cond_eps = eps_pair[:b], eps_pair[b:]
         eps = uncond_eps + guidance_scale * (cond_eps - uncond_eps)
@@ -120,10 +156,26 @@ def collect_unet_amax(
             latent = (rows["sr_prev"][i] * x0 + rows["nr_prev"][i] * eps).astype(np.float32)
 
     out: Dict[str, dict] = {}
-    for name, vmax, vmin in zip(names, acc_max, acc_min):
-        cur = out.setdefault(name, {"amax": 0.0, "amin": np.inf})
-        cur["amax"] = max(cur["amax"], float(vmax))
-        cur["amin"] = min(cur["amin"], float(vmin))
+    for name, site in zip(names, acc):
+        cur = out.get(name)
+        if cur is None:
+            out[name] = {
+                "amax": site["amax"],
+                "amin": site["amin"],
+                "ch_amax": site["ch_amax"].copy(),
+                "ch_mean": site["ch_mean"] / n_steps,
+                "ch_msq": site["ch_msq"] / n_steps,
+                "out_msq": site["out_msq"] / n_steps,
+            }
+        else:
+            # a module called more than once in the trace (none today, but the
+            # tape is call-ordered, not name-keyed): fold conservatively
+            cur["amax"] = max(cur["amax"], site["amax"])
+            cur["amin"] = min(cur["amin"], site["amin"])
+            np.maximum(cur["ch_amax"], site["ch_amax"], out=cur["ch_amax"])
+            cur["ch_mean"] = (cur["ch_mean"] + site["ch_mean"] / n_steps) / 2.0
+            cur["ch_msq"] = (cur["ch_msq"] + site["ch_msq"] / n_steps) / 2.0
+            cur["out_msq"] = (cur["out_msq"] + site["out_msq"] / n_steps) / 2.0
     for cur in out.values():
         cur["ratio"] = cur["amax"] / max(cur.pop("amin"), 1e-9)
     return out
@@ -176,12 +228,37 @@ def bake_act_scales(
     return out
 
 
+def merge_stats(into: Dict[str, dict], new: Dict[str, dict]) -> None:
+    """Fold a second calibration run (another seed/prompt) into ``into`` in
+    place: worst-case maxima, union stability ratio, averaged moments."""
+    for k, v in new.items():
+        cur = into.get(k)
+        if cur is None:
+            into[k] = dict(v)
+            continue
+        amin = min(cur["amax"] / cur.get("ratio", 1.0),
+                   v["amax"] / v.get("ratio", 1.0))
+        cur["amax"] = max(cur["amax"], v["amax"])
+        cur["ratio"] = cur["amax"] / max(amin, 1e-9)
+        if "ch_amax" in cur and "ch_amax" in v:
+            cur["ch_amax"] = np.maximum(cur["ch_amax"], v["ch_amax"])
+            cur["ch_mean"] = (cur["ch_mean"] + v["ch_mean"]) / 2.0
+            cur["ch_msq"] = (cur["ch_msq"] + v["ch_msq"]) / 2.0
+            cur["out_msq"] = (cur.get("out_msq", 0.0) + v.get("out_msq", 0.0)) / 2.0
+
+
 def save_scales(path: str, amax_by_name: Dict[str, dict]) -> None:
-    """npz: one float32[2] = (amax, ratio) per site (plain floats saved as ratio 1)."""
+    """npz: one float32[2] = (amax, ratio) per site (plain floats saved as
+    ratio 1); sites with per-channel stats add ``{name}::ch`` — a float32
+    (3, C) array of rows (ch_amax, ch_mean, ch_msq) — and ``{name}::out_msq``."""
     arrs = {}
     for k, v in amax_by_name.items():
         if isinstance(v, dict):
             arrs[k] = np.asarray([v["amax"], v.get("ratio", 1.0)], np.float32)
+            if "ch_amax" in v:
+                arrs[k + "::ch"] = np.stack(
+                    [v["ch_amax"], v["ch_mean"], v["ch_msq"]]).astype(np.float32)
+                arrs[k + "::out_msq"] = np.float32(v.get("out_msq", 0.0))
         else:
             arrs[k] = np.asarray([float(v), 1.0], np.float32)
     np.savez(path, **arrs)
@@ -191,7 +268,13 @@ def load_scales(path: str) -> Dict[str, dict]:
     with np.load(path) as z:
         out = {}
         for k in z.files:
+            if "::" in k:
+                continue
             a = np.atleast_1d(z[k]).astype(np.float32)
             out[k] = {"amax": float(a[0]),
                       "ratio": float(a[1]) if a.size > 1 else 1.0}
+            if k + "::ch" in z.files:
+                ch = z[k + "::ch"].astype(np.float32)
+                out[k]["ch_amax"], out[k]["ch_mean"], out[k]["ch_msq"] = ch
+                out[k]["out_msq"] = float(z[k + "::out_msq"])
         return out

@@ -299,3 +299,162 @@ def test_hybridize_params_dense_dynamic():
     full_dyn = quantize.quantize_params(params, min_k=64)
     err_dyn = _rel_err(jax.jit(unet_lib.apply)(full_dyn, latent, t_emb, context), fp32)
     assert err_dense < max(1.5 * err_dyn, err_dyn + 0.02), (err_dense, err_dyn)
+
+
+def _conv_stats(x):
+    """Calibration-equivalent per-channel stats for a (B,H,W,C) activation."""
+    xf = np.asarray(x, np.float64)
+    return {
+        "amax": float(np.max(np.abs(xf))),
+        "ratio": 1.0,
+        "ch_amax": np.max(np.abs(xf), axis=(0, 1, 2)).astype(np.float32),
+        "ch_mean": np.mean(xf, axis=(0, 1, 2)).astype(np.float32),
+        "ch_msq": np.mean(xf**2, axis=(0, 1, 2)).astype(np.float32),
+        "out_msq": 1.0,  # placeholder; set by callers that gate on rel MSE
+    }
+
+
+def test_equalized_module_beats_per_tensor_on_outlier_channels():
+    """weights/quantize._equalized_module (SmoothQuant-style per-channel grids):
+    on activations with a 30x outlier channel, equalization must cut the conv
+    output error well below the per-tensor static grid — and stay exact-algebra
+    (same epilogue, act_qmul vector instead of a scalar multiply)."""
+    rs = np.random.RandomState(21)
+    c = 64
+    x = rs.normal(0, 1.0, (2, 16, 16, c)).astype(np.float32)
+    x[..., 5] *= 30.0  # one outlier channel dominates the per-tensor amax
+    w = rs.normal(0, 0.05, (3, 3, c, 48)).astype(np.float32)
+    b = rs.normal(0, 0.05, (48,)).astype(np.float32)
+    leaves = {"kernel": jnp.asarray(w), "bias": jnp.asarray(b)}
+    stats = _conv_stats(x)
+
+    want = basic.conv2d(jnp.asarray(x), leaves, padding=1)
+    stats["out_msq"] = float(np.mean(np.asarray(want, np.float64) ** 2))
+
+    # v1: per-tensor static grid
+    v1 = quantize._quantize_module(leaves)
+    v1["act_scale"] = jnp.float32(stats["amax"] * 1.05 / 127.0)
+    err_v1 = _rel_err(basic.conv2d(jnp.asarray(x), v1, padding=1), want)
+
+    v2, est = quantize._equalized_module(
+        leaves, stats, margin=1.05, alpha=0.5, clip_sigmas=None,
+        bias_correct=False)
+    assert v2["act_qmul"].shape == (c,)
+    err_v2 = _rel_err(basic.conv2d(jnp.asarray(x), v2, padding=1), want)
+    assert err_v2 < 0.5 * err_v1, (err_v2, err_v1)
+    # the analytic estimate is the right order of magnitude (ranking metric)
+    rel_mse = est["rel_mse"]
+    assert 0.1 * err_v2**2 < rel_mse < 10 * err_v2**2, (rel_mse, err_v2**2)
+    assert abs(est["act_rel"] + est["w_rel"] - rel_mse) < 1e-12
+
+
+def test_equalized_module_bias_correction_removes_systematic_error():
+    """bias_correct folds sum_j E[x_j](W_dq - W) out of the bias: on activations
+    with a nonzero mean (the GN+SiLU regime) the mean output error must shrink."""
+    rs = np.random.RandomState(22)
+    c = 32
+    x = (rs.normal(0.4, 0.6, (2, 12, 12, c))).astype(np.float32)  # shifted
+    w = rs.normal(0, 0.05, (3, 3, c, 32)).astype(np.float32)
+    b = np.zeros(32, np.float32)
+    leaves = {"kernel": jnp.asarray(w), "bias": jnp.asarray(b)}
+    stats = _conv_stats(x)
+    want = np.asarray(basic.conv2d(jnp.asarray(x), leaves, padding=1), np.float64)
+    stats["out_msq"] = float(np.mean(want**2))
+
+    outs = {}
+    for bc in (False, True):
+        mod, _ = quantize._equalized_module(
+            leaves, stats, margin=1.05, alpha=0.5, clip_sigmas=None,
+            bias_correct=bc)
+        got = np.asarray(basic.conv2d(jnp.asarray(x), mod, padding=1), np.float64)
+        # interior only: the E[x] model ignores zero-padded borders
+        outs[bc] = np.mean((got - want)[:, 1:-1, 1:-1], axis=(0, 1, 2))
+    assert np.abs(outs[True]).mean() < np.abs(outs[False]).mean(), outs
+
+
+def test_hybridize_max_site_rel_mse_gate():
+    """max_site_rel_mse drops high-error sites (leaves them float) and the
+    report records every eligible site's estimate."""
+    widths = (32, 64, 128, 128)
+    params = unet_lib.init_params(jax.random.PRNGKey(3), widths=widths)
+    # synthesize stats for every eligible conv site from unit-normal activations
+    scales = {}
+    for name, leaves in params.items():
+        k = leaves.get("kernel")
+        if k is not None and k.ndim == 4:
+            c = k.shape[2]
+            scales[name] = {
+                "amax": 4.0, "ratio": 1.1,
+                "ch_amax": np.full(c, 4.0, np.float32),
+                "ch_mean": np.zeros(c, np.float32),
+                "ch_msq": np.ones(c, np.float32),
+                "out_msq": 1.0,
+            }
+    report_all, report_gated = {}, {}
+    hybrid_all = quantize.hybridize_params(
+        params, scales, min_k=64, report=report_all)
+    n_all = sum(1 for l in hybrid_all.values() if "kernel_q" in l)
+    assert n_all > 0 and all(v["quantized"] for v in report_all.values())
+    # a budget below the median estimate must drop sites
+    budget = float(np.median([v["rel_mse"] for v in report_all.values()]))
+    hybrid_gated = quantize.hybridize_params(
+        params, scales, min_k=64, max_site_rel_mse=budget, report=report_gated)
+    n_gated = sum(1 for l in hybrid_gated.values() if "kernel_q" in l)
+    assert 0 < n_gated < n_all
+    dropped = [k for k, v in report_gated.items() if not v["quantized"]]
+    assert all(report_gated[k]["rel_mse"] > budget for k in dropped)
+
+
+def test_calibration_ch_stats_roundtrip(tmp_path):
+    """collect_unet_amax v2 records per-channel stats; save/load round-trips
+    them; hybridize_params consumes them (act_qmul present at equalized sites)."""
+    from minsdtf_tpu import scheduler as sched_lib
+    from minsdtf_tpu.weights import calibrate
+
+    widths = (32, 64, 128, 128)
+    params = unet_lib.init_params(jax.random.PRNGKey(3), widths=widths)
+    qparams = quantize.quantize_params(params, min_k=64, conv_only=True)
+    rs = np.random.RandomState(6)
+    latent0 = rs.normal(0, 1, (1, 8, 8, 4)).astype(np.float32)
+    context = rs.normal(0, 1, (1, 77, 768)).astype(np.float32)
+    schedule = sched_lib.build_denoise_schedule(sched_lib.Scheduler(), 2, eta=0.3)
+    t_embs = sched_lib.timestep_embedding(schedule.timesteps, dim=widths[0])
+    rows = {k: np.asarray(getattr(schedule, k), np.float32)
+            for k in ("sr_t", "nr_t", "sr_prev", "nr_prev", "is_last")}
+    stats = calibrate.collect_unet_amax(
+        qparams, jnp.asarray(latent0), context, context, t_embs, rows)
+    site = "mid_block.resnets.0.conv1"
+    cin = params[site]["kernel"].shape[2]
+    assert stats[site]["ch_amax"].shape == (cin,)
+    assert stats[site]["out_msq"] > 0
+    # per-channel amax is consistent with the scalar amax
+    assert abs(float(np.max(stats[site]["ch_amax"])) - stats[site]["amax"]) < 1e-4
+
+    path = str(tmp_path / "scales.npz")
+    calibrate.save_scales(path, stats)
+    loaded = calibrate.load_scales(path)
+    np.testing.assert_allclose(loaded[site]["ch_amax"], stats[site]["ch_amax"])
+    np.testing.assert_allclose(loaded[site]["ch_msq"], stats[site]["ch_msq"],
+                               rtol=1e-6)
+    assert abs(loaded[site]["out_msq"] - stats[site]["out_msq"]) < 1e-5
+
+    hybrid = quantize.hybridize_params(params, loaded, min_k=64)
+    assert "act_qmul" in hybrid[site] and "kernel_q" in hybrid[site]
+    # equalized hybrid stays in the int8 error class vs fp32
+    te = np.broadcast_to(t_embs[0][None], (1, t_embs.shape[1])).astype(np.float32)
+    fp32 = jax.jit(unet_lib.apply)(params, latent0, te, context)
+    err = _rel_err(jax.jit(unet_lib.apply)(hybrid, latent0, te, context), fp32)
+    full_dyn = quantize.quantize_params(params, min_k=64)
+    err_dyn = _rel_err(jax.jit(unet_lib.apply)(full_dyn, latent0, te, context), fp32)
+    assert err < max(1.5 * err_dyn, err_dyn + 0.02), (err, err_dyn)
+
+
+def test_resolve_blocks_by_height_map():
+    """Per-output-height fold-count maps ("64:16,32:8,*:auto") for the
+    per-resolution conv block sweeps (ROADMAP r4)."""
+    assert basic._resolve_blocks("64:32,32:8,*:4", 2, hout=64) == 32
+    assert basic._resolve_blocks("64:32,32:8,*:4", 2, hout=32) == 8
+    assert basic._resolve_blocks("64:32,32:8,*:4", 2, hout=16) == 4
+    # '*:auto' falls through to the batch-adaptive default
+    assert basic._resolve_blocks("64:32,*:auto", 2, hout=16) == 16
+    assert basic._resolve_blocks("64:32,*:auto", 8, hout=16) == 1
