@@ -29,7 +29,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-SCALES = os.path.join(REPO, "fixtures", "hybrid_scales_random512.npz")
+SCALES = os.environ.get(
+    "DOSSIER_SCALES", os.path.join(REPO, "fixtures", "hybrid_scales_random512.npz"))
 
 
 def main():
