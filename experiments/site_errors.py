@@ -27,8 +27,9 @@ def main():
     from minsdtf_tpu.models import unet as unet_lib
     from minsdtf_tpu.weights import calibrate, quantize
 
-    scales = calibrate.load_scales(
-        os.path.join(REPO, "fixtures", "hybrid_scales_random512.npz"))
+    scales = calibrate.load_scales(os.environ.get(
+        "DOSSIER_SCALES",
+        os.path.join(REPO, "fixtures", "hybrid_scales_random512_v2.npz")))
     params = unet_lib.init_params(jax.random.PRNGKey(0))
 
     alpha = float(os.environ.get("MINSDTF_HYBRID_ALPHA", "0.5"))
