@@ -229,7 +229,10 @@ def main():
     print(json.dumps({"images": images, "serving": serving, "verdicts": verdicts},
                      indent=2))
     if size == 512 and steps == 25 and os.environ.get("DOSSIER_NO_WRITE") != "1":
-        path = os.path.join(REPO, "fixtures", "quality_dossier_r4.json")
+        # DOSSIER_OUT redirects the fixture (e.g. to commit a failed variant's
+        # evidence without touching the headline-deciding file).
+        path = os.environ.get(
+            "DOSSIER_OUT", os.path.join(REPO, "fixtures", "quality_dossier_r4.json"))
         with open(path, "w") as f:
             json.dump(out, f, indent=1)
         print(f"[dossier] wrote {path}")

@@ -8,6 +8,7 @@ curves and pin that ``bench.py``'s headline dtype matches the verdict — a
 future edit cannot silently re-promote int8-hybrid without a passing dossier.
 """
 
+import glob
 import importlib.util
 import json
 import os
@@ -16,6 +17,12 @@ import pytest
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 FIXTURE = os.path.join(REPO, "fixtures", "quality_dossier_r4.json")
+
+# Every committed dossier variant (e.g. quality_dossier_r4_v2.json, the
+# equalized+bias-corrected quantizer's evidence) must satisfy the same
+# honesty invariants as the headline-deciding fixture.
+ALL_FIXTURES = sorted(
+    glob.glob(os.path.join(REPO, "fixtures", "quality_dossier_r4*.json")))
 
 
 def _load(path, name):
@@ -33,10 +40,21 @@ def dossier():
         return json.load(f)
 
 
-def test_verdicts_match_committed_curves(dossier):
+@pytest.fixture(params=ALL_FIXTURES or [None],
+                ids=[os.path.basename(p) for p in ALL_FIXTURES] or ["none"],
+                scope="module")
+def any_dossier(request):
+    if request.param is None:
+        pytest.skip("no dossier fixtures produced yet (needs the real chip)")
+    with open(request.param) as f:
+        return json.load(f)
+
+
+def test_verdicts_match_committed_curves(any_dossier):
     """Re-evaluating the stored curves with the protocol's own criteria must
     reproduce the stored verdict booleans — the fixture cannot assert a verdict
     its own data does not support."""
+    dossier = any_dossier
     qd = _load(os.path.join(REPO, "experiments", "quality_dossier.py"), "qd")
     steps = dossier["config"]["steps"]
     fresh = qd.evaluate(dossier["curves"], steps)
@@ -50,7 +68,8 @@ def test_verdicts_match_committed_curves(dossier):
     assert all_pass == dossier["verdicts"]["all_pass"]
 
 
-def test_curves_are_full_length(dossier):
+def test_curves_are_full_length(any_dossier):
+    dossier = any_dossier
     steps = dossier["config"]["steps"]
     assert dossier["config"]["size"] == 512 and steps == 25
     for tag in ("hybrid_vs_bf16", "bf16_vs_fp32", "ulp_vs_bf16"):
