@@ -2,28 +2,46 @@
 
 Prints exactly ONE JSON line on stdout:
   {"metric": ..., "value": sec/image, "unit": "s/img", "vs_baseline": utilization,
-   "min": ..., "max": ..., "throughput_b8": ..., "tcd4_b8": ..., "e2e_prompt"?}
+   "min": ..., "max": ..., "throughput_b8": ..., "tcd4_b8": ..., "skipped": [...]}
 
 The reference publishes no speed numbers (BASELINE.md), so ``vs_baseline`` reports
 achieved fraction of the analytic speed-of-light for this workload on the local chip
 (BASELINE.md's utilization north star): higher is better, 1.0 = ideal. The headline
 ``value`` is the MEDIAN of repeats (typical throughput); min/max expose the measured
-±5% tunnel jitter. Extra fields published every run (VERDICT r1 #8):
+±5% tunnel jitter.
 
-  - ``bf16`` / ``int8_hybrid``: the OTHER dtype configuration's s/img, alongside
-    the headline. The headline dtype is decided by the committed quality dossier
-    (fixtures/quality_dossier_r4.json): int8-hybrid (stable-site W8A8, baked
-    static scales) headlines only if its per-step prefix-divergence verdict
-    passed; otherwise bf16 headlines. BENCH_WEIGHT_DTYPE overrides;
+TIMEOUT-PROOFING (VERDICT r4 #1 — BENCH_r04 was lost to a driver wall-clock kill):
+  - the JSON line is emitted by a single ``_emit()`` that SIGTERM/SIGINT/SIGALRM
+    handlers also call, so an external kill publishes whatever has been measured
+    (the headline runs first, so the line is never empty);
+  - a self-imposed wall budget (``BENCH_BUDGET_S``, default 1100 s — r3's full run
+    fit well inside the driver limit) is enforced BEFORE starting each extra with a
+    conservative cold-cache cost estimate; what doesn't fit is published in
+    ``"skipped"`` instead of risking the whole line;
+  - a watchdog THREAD emits at ``BENCH_BUDGET_S + 45`` (with ``signal.alarm`` as a
+    second backstop): Python defers signal handlers during long native calls, so
+    only a thread can get the JSON out from inside a hung multi-minute XLA compile
+    (native compiles release the GIL);
+  - extras run cheapest-value-first (``pipelined`` / ``e2e_prompt`` reuse the
+    headline program; pipeline-constructing extras follow) and each extra is
+    individually try/except-guarded, so one failure costs one field, not the rest.
+
+Extra fields (VERDICT r1 #8; each skippable under budget pressure):
+  - ``pipelined``: s/img through queued dispatch (``generate_images``);
   - ``e2e_prompt``: full prompt -> image seconds (tokenize + LPW + CLIP + sampler),
     vs the headline which times ``generate_image`` from a precomputed context;
+  - ``bf16`` / ``int8_hybrid``: the OTHER dtype configuration's s/img, alongside
+    the headline. The headline dtype is decided by the committed quality dossier
+    (fixtures/quality_dossier.json): int8-hybrid (stable-site W8A8, baked
+    static scales) headlines only if its per-step prefix-divergence verdict
+    passed; otherwise bf16 headlines. BENCH_WEIGHT_DTYPE overrides;
   - ``throughput_b8``: batch-8 s/img, the serving-throughput configuration;
-  - ``tcd4_b8``: TCD 4-step batch-8 s/img, the few-step distilled-serving config;
-  - ``dpm15``: DPM-Solver++(2M) 15-step batch-1 s/img (DDIM-25 quality class);
-  - ``pipelined``: s/img through queued dispatch (``generate_images``);
   - ``served_qps``: sustained images/s through the live HTTP serving daemon
     (``tools/serve.py``) with concurrent clients (the daemon merges compatible
-    queued requests into batched programs), incl. JSON/base64/PNG work;
+    queued requests into batched programs — ``served_merged`` counts the merges
+    observed via /stats during the measurement), incl. JSON/base64/PNG work;
+  - ``dpm15``: DPM-Solver++(2M) 15-step batch-1 s/img (DDIM-25 quality class);
+  - ``tcd4_b8``: TCD 4-step batch-8 s/img, the few-step distilled-serving config;
   - ``hires1024``: 1024x1024 25-step batch-1 s/img (bf16) — the long-context
     config the reference's O(S^2) attention cannot run on one device.
 
@@ -31,16 +49,54 @@ A compiled-kernel parity selfcheck (Pallas vs XLA on THIS chip) runs first;
 MINSDTF_SELFCHECK=0 skips. Weights are seeded-random (zero-egress env) — identical
 compute graph & cost to real weights. Env overrides: BENCH_STEPS, BENCH_SIZE,
 BENCH_BATCH, BENCH_REPEATS, BENCH_TCD=1 (headline in TCD mode),
-BENCH_EXTRAS=0 (skip the extra-field measurements).
+BENCH_EXTRAS=0 (skip the extra-field measurements), BENCH_BUDGET_S.
 """
 
 import contextlib
 import json
 import os
+import signal
 import sys
 import time
 
 import numpy as np
+
+_STDOUT = sys.stdout  # measurement runs under redirect_stdout(stderr); emit here
+_T0 = time.monotonic()
+_RESULT = {}
+_EMITTED = False
+
+
+def _emit():
+    """Print the single JSON result line exactly once (normal exit AND signal
+    paths both land here). Missing headline fields mean we were killed before
+    the first measurement finished — still emit a parseable line."""
+    global _EMITTED
+    if _EMITTED:
+        return
+    _EMITTED = True
+    if "value" not in _RESULT:
+        _RESULT.setdefault("metric", "SD1.5 txt2img (killed before headline)")
+        _RESULT.setdefault("value", None)
+        _RESULT.setdefault("unit", "s/img")
+        _RESULT.setdefault("vs_baseline", None)
+        _RESULT["incomplete"] = True
+    _RESULT["bench_s"] = round(time.monotonic() - _T0, 1)
+    _STDOUT.write(json.dumps(_RESULT) + "\n")
+    _STDOUT.flush()
+
+
+def _on_signal(signum, frame):
+    _RESULT["killed_by_signal"] = signum  # diagnosable from BENCH_r*.json alone
+    _emit()
+    os._exit(0)
+
+
+def _log(msg):
+    """Per-phase wall timing to stderr (lands in the driver's captured tail —
+    the per-program compile/staging record VERDICT r4 #2 asked for)."""
+    sys.stderr.write(f"[bench +{time.monotonic() - _T0:7.1f}s] {msg}\n")
+    sys.stderr.flush()
 
 
 def flops_per_image(height, width, steps, batch, cfg=True):
@@ -85,12 +141,12 @@ def _time_runs(jax, fn, repeats, warm_args, timed_args):
 def headline_weight_dtype(repo_dir=None):
     """The headline dtype is a MEASURED decision, not a preference: int8-hybrid
     headlines only if the committed prefix-divergence quality dossier
-    (fixtures/quality_dossier_r4.json, experiments/quality_dossier.py) passed
+    (fixtures/quality_dossier.json, experiments/quality_dossier.py) passed
     all four criteria; otherwise exact bf16 headlines and the hybrid time is
     published alongside. BENCH_WEIGHT_DTYPE overrides either way."""
     here = repo_dir or os.path.dirname(os.path.abspath(__file__))
     try:
-        with open(os.path.join(here, "fixtures", "quality_dossier_r4.json")) as f:
+        with open(os.path.join(here, "fixtures", "quality_dossier.json")) as f:
             ok = bool(json.load(f)["verdicts"]["all_pass"])
     except Exception:
         ok = False  # unproven quality never headlines
@@ -122,12 +178,38 @@ def main():
     size = int(os.environ.get("BENCH_SIZE", 512))
     batch = int(os.environ.get("BENCH_BATCH", 1))
     repeats = int(os.environ.get("BENCH_REPEATS", 3))
+    budget = float(os.environ.get("BENCH_BUDGET_S", 1100))
     tcd = os.environ.get("BENCH_TCD") == "1"  # headline in few-step TCD mode
     extras = os.environ.get("BENCH_EXTRAS", "1") == "1" and size == 512 and not tcd
 
+    for sig in (signal.SIGTERM, signal.SIGINT, signal.SIGALRM):
+        signal.signal(sig, _on_signal)
+    signal.alarm(int(budget) + 60)  # backstop past the soft budget
+    # Python delivers signals only between bytecodes — a SIGTERM/SIGALRM landing
+    # mid-XLA-compile (minutes of native code) would be deferred past the
+    # driver's kill grace. A watchdog THREAD runs during native calls (they
+    # release the GIL), so the JSON line gets out even from inside a compile.
+    import threading
+
+    def _watchdog():
+        deadline = _T0 + budget + 45
+        while not _EMITTED:
+            if time.monotonic() >= deadline:
+                _RESULT["killed_by_signal"] = "watchdog"
+                _emit()
+                os._exit(0)
+            time.sleep(1.0)
+
+    threading.Thread(target=_watchdog, daemon=True).start()
+
     import jax
 
-    result_extra = {}
+    # BENCH_PLATFORM=cpu: validation runs on the host (the axon sitecustomize
+    # pins the platform via jax.config at register time, so the JAX_PLATFORMS
+    # env var alone cannot redirect a bench process to CPU).
+    if os.environ.get("BENCH_PLATFORM"):
+        jax.config.update("jax_platforms", os.environ["BENCH_PLATFORM"])
+
     with contextlib.redirect_stdout(sys.stderr):
         # Opt-out preamble: verify the COMPILED Pallas kernels against XLA on this
         # chip at the production shapes before timing anything (a Mosaic miscompile
@@ -136,11 +218,12 @@ def main():
             from minsdtf_tpu.tools import selfcheck
 
             selfcheck.check_flash_attention()
+            _log("selfcheck done")
 
         from minsdtf_tpu.pipeline import StableDiffusion
 
         # Headline config: decided by the committed quality dossier
-        # (fixtures/quality_dossier_r4.json, experiments/quality_dossier.py —
+        # (fixtures/quality_dossier.json, experiments/quality_dossier.py —
         # the per-step prefix-divergence protocol of VERDICT r3 #1). int8_hybrid
         # (stable-conv-site-only W8A8, baked static scales; 0.43 vs 0.48 s/img
         # bf16) keeps the headline ONLY if the dossier's all_pass verdict holds;
@@ -167,77 +250,112 @@ def main():
                 unconditional_guidance_scale=7.5, guidance_rescale=0.7, seed=seed,
             )
 
+        _log("headline: compile+measure start")
         times = _time_runs(jax, run, repeats, (1,), [(i + 2,) for i in range(repeats + 1)])
         # headline = median (typical); min/max expose the ±5% tunnel jitter.
         elapsed = float(np.median(times))
+        sec_per_image = elapsed / batch
+        ideal = flops_per_image(size, size, steps, 1) / peak_flops()
+        kind = "TCD txt2img" if tcd else "txt2img"
+        _RESULT.update({
+            "metric": f"SD1.5 {size}x{size} {steps}-step {kind} (CFG 7.5, {dtype_label}, 1 chip)",
+            "value": round(sec_per_image, 4),
+            "unit": "s/img",
+            "vs_baseline": round(ideal / sec_per_image, 4),
+            "min": round(min(times) / batch, 4),
+            "max": round(max(times) / batch, 4),
+        })
+        _log(f"headline done: {sec_per_image:.4f} s/img")
 
-        if extras:  # noqa: C901 — each extra is best-effort; see the guard below
-          try:  # an extras failure must never cost the headline JSON line
-            if use_hybrid:
-                # exact-bf16 reference configuration alongside the int8 headline
-                bf16_pipe = StableDiffusion(img_height=size, img_width=size)
-                tb = _time_runs(jax, lambda s: run(s, p=bf16_pipe), 3, (1,),
-                                [(2,), (3,), (4,), (5,)])
-                result_extra["bf16"] = round(float(np.median(tb)), 4)
-            elif os.path.exists(scales_fixture):
-                # the hybrid config alongside the bf16 headline: faster but its
-                # quality dossier did not pass, so it is opt-in serving only
-                hy_pipe = StableDiffusion(
-                    img_height=size, img_width=size, weight_dtype="int8_hybrid",
-                    int8_act_scales=scales_fixture)
-                thy = _time_runs(jax, lambda s: run(s, p=hy_pipe), 3, (1,),
-                                 [(2,), (3,), (4,), (5,)])
-                result_extra["int8_hybrid"] = round(float(np.median(thy)), 4)
-            # batch-8 serving throughput (same program, batched); 3 kept reps
-            t8 = _time_runs(jax, lambda s: run(s, b=8), 3, (1,), [(2,), (3,), (4,), (5,)])
-            result_extra["throughput_b8"] = round(float(np.median(t8)) / 8, 4)
-            # TCD 4-step batch-8: the few-step distilled-serving config
-            tcd_pipe = StableDiffusion(img_height=size, img_width=size, active_tcd=True)
-            tt = _time_runs(
-                jax, lambda s: run(s, b=8, n=4, p=tcd_pipe), 3, (1,),
-                [(2,), (3,), (4,), (5,)]
-            )
-            result_extra["tcd4_b8"] = round(float(np.median(tt)) / 8, 4)
-            # DPM-Solver++(2M) at 15 steps — the quality-equivalent fast config
-            # (first+second-order multistep matches DDIM-25 at ~15 steps)
-            dpm_pipe = StableDiffusion(img_height=size, img_width=size,
-                                       scheduler_type="dpm")
-            td = _time_runs(
-                jax, lambda s: run(s, n=15, p=dpm_pipe), 3, (1,),
-                [(2,), (3,), (4,), (5,)]
-            )
-            result_extra["dpm15"] = round(float(np.median(td)), 4)
-            # queued-dispatch serving throughput: generate_images dispatches all
-            # requests before fetching, hiding host+D2H behind device compute.
-            # (The batch-1 program is compiled AND staged by the headline runs
-            # above, so the warm run here only covers the new seeds; median of 2.)
-            reqs = [encoded] * 4
+        if extras:
+            _run_extras(jax, StableDiffusion, pipe, run, encoded, steps, size,
+                        budget, use_hybrid, scales_fixture)
+    _emit()
 
-            def run_queue(s0):
-                return pipe.generate_images(
-                    reqs, seeds=[s0, s0 + 1, s0 + 2, s0 + 3], num_steps=steps,
-                    unconditional_guidance_scale=7.5, guidance_rescale=0.7)
 
-            run_queue(21)
-            tq = []
-            for s0 in (31, 41):
-                t0 = time.perf_counter()
-                run_queue(s0)
-                tq.append(time.perf_counter() - t0)
-            result_extra["pipelined"] = round(float(np.median(tq)) / 4, 4)
-            # sustained serving throughput through the real HTTP daemon
-            # (tools/serve.py): concurrent clients posting context payloads to a
-            # live server; counts JSON/base64/PNG overhead as serving work.
-            import base64
-            import threading
-            import urllib.request
+def _run_extras(jax, StableDiffusion, pipe, run, encoded, steps, size, budget,
+                use_hybrid, scales_fixture):
+    """Each extra: (name(s), conservative cold-cache cost estimate in seconds,
+    thunk). Ordered value-per-second — program-reusing measurements first, fresh
+    pipeline constructions after, the 1024px compile last. An extra only STARTS
+    if its estimate fits the remaining budget; skipped ones are published in
+    "skipped" so a missing field is diagnosable from the JSON alone."""
+    skipped = []
+    errors = {}
 
-            from minsdtf_tpu.tools import serve as serve_mod
+    def fits(name, est):
+        remaining = budget - (time.monotonic() - _T0)
+        if remaining < est:
+            _log(f"extra {name}: SKIP (needs ~{est:.0f}s, {remaining:.0f}s left)")
+            skipped.append(name)
+            return False
+        return True
 
-            server, worker = serve_mod.serve(pipe, port=0)  # ephemeral port
+    # -- pipelined: queued dispatch through the ALREADY-COMPILED headline program
+    def x_pipelined():
+        reqs = [encoded] * 4
+
+        def run_queue(s0):
+            return pipe.generate_images(
+                reqs, seeds=[s0, s0 + 1, s0 + 2, s0 + 3], num_steps=steps,
+                unconditional_guidance_scale=7.5, guidance_rescale=0.7)
+
+        run_queue(21)
+        tq = []
+        for s0 in (31, 41):
+            t0 = time.perf_counter()
+            run_queue(s0)
+            tq.append(time.perf_counter() - t0)
+        _RESULT["pipelined"] = round(float(np.median(tq)) / 4, 4)
+
+    # -- e2e_prompt: tokenize + LPW + CLIP + sampler. warm_text() compiles the
+    # fused text traces WITHOUT building any new sampler program (VERDICT r4 #1c:
+    # the old warm ran a full 25-step generation); the timed run then hits the
+    # compiled text program + the headline's sampler program.
+    def x_e2e_prompt():
+        bpe = os.environ.get("MINSDTF_BPE")
+        if not (bpe and os.path.exists(bpe)):
+            bpe = _synthetic_merges()
+        pipe.bpe_path = bpe
+        pipe._tokenizer = None
+        pipe.warm_text()
+        t0 = time.perf_counter()
+        img = pipe.text_to_image("a photograph of an astronaut riding a horse",
+                                 num_steps=steps, seed=9)
+        jax.block_until_ready(img)
+        _RESULT["e2e_prompt"] = round(time.perf_counter() - t0, 4)
+
+    # -- the OTHER dtype config alongside the headline (fresh pipeline + compile)
+    def x_alt_dtype():
+        if use_hybrid:
+            alt_pipe = StableDiffusion(img_height=size, img_width=size)
+            field = "bf16"
+        else:
+            alt_pipe = StableDiffusion(
+                img_height=size, img_width=size, weight_dtype="int8_hybrid",
+                int8_act_scales=scales_fixture)
+            field = "int8_hybrid"
+        ta = _time_runs(jax, lambda s: run(s, p=alt_pipe), 3, (1,),
+                        [(2,), (3,), (4,), (5,)])
+        _RESULT[field] = round(float(np.median(ta)), 4)
+
+    # -- batch-8 serving throughput (same pipeline, batched program)
+    def x_throughput_b8():
+        t8 = _time_runs(jax, lambda s: run(s, b=8), 3, (1,), [(2,), (3,), (4,), (5,)])
+        _RESULT["throughput_b8"] = round(float(np.median(t8)) / 8, 4)
+
+    # -- sustained serving qps through the live HTTP daemon (merged batching)
+    def x_served_qps():
+        import base64
+        import threading
+        import urllib.request
+
+        from minsdtf_tpu.tools import serve as serve_mod
+
+        server, worker = serve_mod.serve(pipe, port=0)  # ephemeral port
+        try:
             port = server.server_address[1]
-            srv_thread = threading.Thread(target=server.serve_forever, daemon=True)
-            srv_thread.start()
+            threading.Thread(target=server.serve_forever, daemon=True).start()
             payload_base = {
                 "context": base64.b64encode(encoded.tobytes()).decode(),
                 "steps": steps, "guidance_scale": 7.5, "guidance_rescale": 0.7,
@@ -255,7 +373,18 @@ def main():
                 for s in seeds:
                     post(s)
 
-            post(51)  # warm the daemon path (program already compiled+staged)
+            post(51)  # warm the batch-1 daemon path (injected-noise program)
+            # warm WAVE: the merge worker upgrades concurrent bursts to a
+            # batch-8 injected-noise program that nothing else compiles — an
+            # unwarmed first wave would pay that multi-minute compile inside
+            # the measured window (one of the r4 budget-blowout contributors)
+            warm_threads = [threading.Thread(target=post, args=(52 + i,))
+                            for i in range(8)]
+            for t in warm_threads:
+                t.start()
+            for t in warm_threads:
+                t.join()
+            merged_before = worker.merged_batches
             # 8-wide client bursts: the worker's 50 ms merge window assembles each
             # wave into one batch-8 program (0.36 s/img vs 0.43 solo); two waves
             # so wave-2 dispatch pipelines behind wave-1 fetch.
@@ -270,52 +399,66 @@ def main():
                 t.start()
             for t in threads:
                 t.join()
-            result_extra["served_qps"] = round(n_req / (time.perf_counter() - t0), 4)
+            _RESULT["served_qps"] = round(n_req / (time.perf_counter() - t0), 4)
+            # merging must have been ACTIVE during the measurement (VERDICT r4 #4)
+            _RESULT["served_merged"] = worker.merged_batches - merged_before
+        finally:
             server.shutdown()
             worker.stop()
-            # full prompt -> image wall time (tokenize + LPW + CLIP + sampler).
-            # MINSDTF_BPE selects the real CLIP merges file when present; otherwise
-            # a synthetic merges vocabulary is generated — token *timing* does not
-            # need the real vocab (same tokenize/LPW/encode path and shapes).
-            bpe = os.environ.get("MINSDTF_BPE")
-            if not (bpe and os.path.exists(bpe)):
-                bpe = _synthetic_merges()
-            pipe.bpe_path = bpe
-            pipe._tokenizer = None
-            pipe.text_to_image("a photograph of an astronaut", num_steps=steps,
-                               seed=1)  # compile text stack
-            t0 = time.perf_counter()
-            img = pipe.text_to_image("a photograph of an astronaut riding a horse",
-                                     num_steps=steps, seed=9)
-            jax.block_until_ready(img)
-            result_extra["e2e_prompt"] = round(time.perf_counter() - t0, 4)
-            # 1024px 25-step batch-1 (bf16, last so a failure costs nothing else):
-            # the long-context differentiator — the reference's materialized
-            # O(S^2) softmax cannot run 16k-token self-attention on one device;
-            # the online flash kernel can (SURVEY §5; diffusion_model.py:123-126).
-            # Hybrid scales are 512px-calibrated, so this config publishes bf16.
-            hi_pipe = StableDiffusion(img_height=1024, img_width=1024)
-            th = _time_runs(jax, lambda s: run(s, p=hi_pipe), 2, (1,),
-                            [(2,), (3,), (4,)])
-            result_extra["hires1024"] = round(float(np.median(th)), 4)
-          except Exception as e:
-            # partial extras stay in result_extra; the error is published so a
-            # missing field is diagnosable from BENCH_r*.json alone
-            result_extra["extras_error"] = f"{type(e).__name__}: {e}"[:200]
 
-    sec_per_image = elapsed / batch
-    ideal = flops_per_image(size, size, steps, 1) / peak_flops()
-    kind = "TCD txt2img" if tcd else "txt2img"
-    result = {
-        "metric": f"SD1.5 {size}x{size} {steps}-step {kind} (CFG 7.5, {dtype_label}, 1 chip)",
-        "value": round(sec_per_image, 4),
-        "unit": "s/img",
-        "vs_baseline": round(ideal / sec_per_image, 4),
-        "min": round(min(times) / batch, 4),
-        "max": round(max(times) / batch, 4),
-        **result_extra,
-    }
-    print(json.dumps(result))
+    # -- DPM-Solver++(2M) 15 steps: the quality-equivalent fast config
+    def x_dpm15():
+        dpm_pipe = StableDiffusion(img_height=size, img_width=size,
+                                   scheduler_type="dpm")
+        td = _time_runs(jax, lambda s: run(s, n=15, p=dpm_pipe), 3, (1,),
+                        [(2,), (3,), (4,), (5,)])
+        _RESULT["dpm15"] = round(float(np.median(td)), 4)
+
+    # -- TCD 4-step batch-8: the few-step distilled-serving config
+    def x_tcd4_b8():
+        tcd_pipe = StableDiffusion(img_height=size, img_width=size, active_tcd=True)
+        tt = _time_runs(jax, lambda s: run(s, b=8, n=4, p=tcd_pipe), 3, (1,),
+                        [(2,), (3,), (4,), (5,)])
+        _RESULT["tcd4_b8"] = round(float(np.median(tt)) / 8, 4)
+
+    # -- 1024px 25-step batch-1 (bf16, LAST: biggest fresh compile): the
+    # long-context differentiator — the reference's materialized O(S^2) softmax
+    # cannot run 16k-token self-attention on one device; the online flash kernel
+    # can (SURVEY §5; diffusion_model.py:123-126). Hybrid scales are
+    # 512px-calibrated, so this config publishes bf16.
+    def x_hires1024():
+        hi_pipe = StableDiffusion(img_height=1024, img_width=1024)
+        th = _time_runs(jax, lambda s: run(s, p=hi_pipe), 2, (1,), [(2,), (3,), (4,)])
+        _RESULT["hires1024"] = round(float(np.median(th)), 4)
+
+    # Cold-cache cost estimates (seconds) from the r3/r4 runs: a fresh 512px
+    # sampler compile through the tunnel is ~3-4 min cold / seconds warm; the
+    # estimates gate STARTING an extra, actual fast (cache-warm) runs leave the
+    # budget high so later extras still fit.
+    plan = [
+        ("pipelined", 45, x_pipelined),
+        ("e2e_prompt", 120, x_e2e_prompt),
+        ("int8_hybrid" if not use_hybrid else "bf16", 240, x_alt_dtype),
+        ("throughput_b8", 200, x_throughput_b8),
+        ("served_qps", 240, x_served_qps),
+        ("dpm15", 240, x_dpm15),
+        ("tcd4_b8", 200, x_tcd4_b8),
+        ("hires1024", 300, x_hires1024),
+    ]
+    for name, est, thunk in plan:
+        if not fits(name, est):
+            continue
+        t0 = time.monotonic()
+        try:
+            thunk()
+            _log(f"extra {name}: ok in {time.monotonic() - t0:.1f}s")
+        except Exception as e:  # one extra's failure must not cost the rest
+            errors[name] = f"{type(e).__name__}: {e}"[:160]
+            _log(f"extra {name}: FAILED ({errors[name]})")
+    if skipped:
+        _RESULT["skipped"] = skipped
+    if errors:
+        _RESULT["extras_error"] = errors
 
 
 if __name__ == "__main__":

@@ -110,6 +110,17 @@ class BatchingWorker:
         self._thread.join(timeout=30)
 
     def submit(self, payload: dict, timeout: float = 300.0):
+        # Fail-loud at enqueue (VERDICT r4 nit): a negative_prompt is a STRING
+        # that must be tokenized, but context-only deployments (clients post
+        # precomputed context tensors) may run without a BPE vocabulary — that
+        # request would otherwise die deep in the worker with a confusing
+        # tokenizer-construction error after queueing.
+        if payload.get("negative_prompt") and hasattr(self.pipe, "bpe_path") \
+                and not getattr(self.pipe, "bpe_path"):
+            raise ValueError(
+                "negative_prompt requires a tokenizer, but this server's "
+                "pipeline has no BPE vocabulary (bpe_path unset) — supply "
+                "bpe_path at server start or omit negative_prompt")
         req = _Request(payload)
         self.requests.put(req, timeout=5.0)
         if not req.event.wait(timeout):
@@ -334,6 +345,8 @@ def make_handler(worker: BatchingWorker):
                     return
                 img = worker.submit(payload)
                 self._reply(200, _encode_image(img))
+            except ValueError as e:  # request-shaped errors are the client's
+                self._reply(400, {"error": str(e)})
             except Exception as e:
                 self._reply(500, {"error": f"{type(e).__name__}: {e}"})
 

@@ -2,7 +2,7 @@
 
 ``experiments/quality_dossier.py`` runs four same-noise 512px/25-step
 trajectories (fp32 / bf16 / bf16+ulp / int8-hybrid) on the real chip and writes
-``fixtures/quality_dossier_r4.json`` with per-step normalized divergence curves
+``fixtures/quality_dossier.json`` with per-step normalized divergence curves
 and four PASS criteria. These tests re-apply the criteria to the committed
 curves and pin that ``bench.py``'s headline dtype matches the verdict — a
 future edit cannot silently re-promote int8-hybrid without a passing dossier.
@@ -16,13 +16,14 @@ import os
 import pytest
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-FIXTURE = os.path.join(REPO, "fixtures", "quality_dossier_r4.json")
+FIXTURE = os.path.join(REPO, "fixtures", "quality_dossier.json")
 
-# Every committed dossier variant (e.g. quality_dossier_r4_v2.json, the
-# equalized+bias-corrected quantizer's evidence) must satisfy the same
-# honesty invariants as the headline-deciding fixture.
+# Every committed dossier variant (e.g. a re-run quantizer's evidence committed
+# under quality_dossier_<tag>.json) must satisfy the same honesty invariants as
+# the headline-deciding fixture. experiments/quality_dossier.py warns when
+# DOSSIER_OUT escapes this glob, so committed variants are always covered.
 ALL_FIXTURES = sorted(
-    glob.glob(os.path.join(REPO, "fixtures", "quality_dossier_r4*.json")))
+    glob.glob(os.path.join(REPO, "fixtures", "quality_dossier*.json")))
 
 
 def _load(path, name):
@@ -47,7 +48,9 @@ def any_dossier(request):
     if request.param is None:
         pytest.skip("no dossier fixtures produced yet (needs the real chip)")
     with open(request.param) as f:
-        return json.load(f)
+        data = json.load(f)
+    data["_path"] = request.param
+    return data
 
 
 def test_verdicts_match_committed_curves(any_dossier):
@@ -69,9 +72,14 @@ def test_verdicts_match_committed_curves(any_dossier):
 
 
 def test_curves_are_full_length(any_dossier):
+    """Curves match the fixture's OWN declared protocol length; only the
+    headline-deciding fixture is pinned to the full 512px/25-step protocol
+    (ADVICE r4: variants with a different legitimate protocol must be validated
+    on their own terms, not rejected)."""
     dossier = any_dossier
     steps = dossier["config"]["steps"]
-    assert dossier["config"]["size"] == 512 and steps == 25
+    if os.path.basename(dossier["_path"]) == os.path.basename(FIXTURE):
+        assert dossier["config"]["size"] == 512 and steps == 25
     for tag in ("hybrid_vs_bf16", "bf16_vs_fp32", "ulp_vs_bf16"):
         curve = dossier["curves"][tag]
         assert len(curve) == steps
@@ -87,6 +95,31 @@ def test_bench_headline_follows_verdict(dossier, monkeypatch):
     assert bench.headline_weight_dtype(REPO) == expected
     monkeypatch.setenv("BENCH_WEIGHT_DTYPE", "int8_hybrid")
     assert bench.headline_weight_dtype(REPO) == "int8_hybrid"
+
+
+# bench.py speed fields that claim "DDIM-25 quality class" and therefore need a
+# same-noise bf16-vs-fp32 anchor row in the dossier (VERDICT r4 #5). The headline
+# `value`/`bf16` fields are anchored by the main protocol's bf16_vs_fp32 curve.
+ANCHORED_FAST_FIELDS = ("dpm15", "tcd4_b8")
+
+
+def test_fast_speed_fields_have_quality_anchors(dossier):
+    """Every published fast bench field carries a quality anchor of the same
+    protocol class as the headline's (same-noise bf16-vs-fp32 divergence +
+    final PSNR/SSIM), produced by DOSSIER_FAST_ONLY=1 on the real chip."""
+    if "fast_configs" not in dossier:
+        pytest.skip("fast-config anchors not produced yet (needs the real chip: "
+                    "DOSSIER_FAST_ONLY=1 python experiments/quality_dossier.py)")
+    fast = dossier["fast_configs"]
+    for field in ANCHORED_FAST_FIELDS:
+        assert field in fast, f"bench field {field} has no quality anchor"
+        row = fast[field]
+        assert len(row["bf16_vs_fp32"]) == row["steps"]
+        assert all(v >= 0 for v in row["bf16_vs_fp32"])
+        # an anchor must show bf16 in the dtype-noise class, not silently record
+        # a broken config: PSNR vs fp32 comfortably above the web-image floor
+        assert row["psnr_bf16_fp32"] > 25.0
+        assert 0.0 < row["ssim_bf16_fp32"] <= 1.0
 
 
 def test_missing_dossier_defaults_to_bf16(tmp_path, monkeypatch):
