@@ -32,6 +32,9 @@ def main():
 
     import jax
 
+    if os.environ.get("BENCH_PLATFORM"):  # CPU validation (env var alone is
+        jax.config.update("jax_platforms", os.environ["BENCH_PLATFORM"])  # pinned by sitecustomize)
+
     from minsdtf_tpu import profiling
     from minsdtf_tpu.models import controlnet as controlnet_lib
     from minsdtf_tpu.pipeline import StableDiffusion
