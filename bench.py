@@ -14,10 +14,11 @@ TIMEOUT-PROOFING (VERDICT r4 #1 — BENCH_r04 was lost to a driver wall-clock ki
   - the JSON line is emitted by a single ``_emit()`` that SIGTERM/SIGINT/SIGALRM
     handlers also call, so an external kill publishes whatever has been measured
     (the headline runs first, so the line is never empty);
-  - a self-imposed wall budget (``BENCH_BUDGET_S``, default 1100 s — r3's full run
-    fit well inside the driver limit) is enforced BEFORE starting each extra with a
-    conservative cold-cache cost estimate; what doesn't fit is published in
-    ``"skipped"`` instead of risking the whole line;
+  - a self-imposed wall budget (``BENCH_BUDGET_S``, default 900 s — kept well
+    inside any plausible driver limit; warm-cache full runs take ~6-8 min) is
+    enforced BEFORE starting each extra with a conservative cold-cache cost
+    estimate; what doesn't fit is published in ``"skipped"`` instead of risking
+    the whole line;
   - a watchdog THREAD emits at ``BENCH_BUDGET_S + 45`` (with ``signal.alarm`` as a
     second backstop): Python defers signal handlers during long native calls, so
     only a thread can get the JSON out from inside a hung multi-minute XLA compile
@@ -178,7 +179,7 @@ def main():
     size = int(os.environ.get("BENCH_SIZE", 512))
     batch = int(os.environ.get("BENCH_BATCH", 1))
     repeats = int(os.environ.get("BENCH_REPEATS", 3))
-    budget = float(os.environ.get("BENCH_BUDGET_S", 1100))
+    budget = float(os.environ.get("BENCH_BUDGET_S", 900))
     tcd = os.environ.get("BENCH_TCD") == "1"  # headline in few-step TCD mode
     extras = os.environ.get("BENCH_EXTRAS", "1") == "1" and size == 512 and not tcd
 
@@ -209,6 +210,21 @@ def main():
     # env var alone cannot redirect a bench process to CPU).
     if os.environ.get("BENCH_PLATFORM"):
         jax.config.update("jax_platforms", os.environ["BENCH_PLATFORM"])
+
+    # BENCH_LOG_COMPILES=1: per-program compile + persistent-cache hit/miss
+    # lines on stderr (the VERDICT r4 #2 compile-storm diagnosis — r4 died
+    # recompiling every program after the dtype-flip invalidated the cache).
+    if os.environ.get("BENCH_LOG_COMPILES") == "1":
+        import logging
+
+        jax.config.update("jax_log_compiles", True)
+        handler = logging.StreamHandler(sys.stderr)
+        handler.setFormatter(logging.Formatter("[%(name)s] %(message)s"))
+        for name in ("jax._src.compilation_cache", "jax._src.compiler",
+                     "jax._src.dispatch"):
+            lg = logging.getLogger(name)
+            lg.setLevel(logging.DEBUG)
+            lg.addHandler(handler)
 
     with contextlib.redirect_stdout(sys.stderr):
         # Opt-out preamble: verify the COMPILED Pallas kernels against XLA on this
@@ -282,6 +298,19 @@ def _run_extras(jax, StableDiffusion, pipe, run, encoded, steps, size, budget,
     "skipped" so a missing field is diagnosable from the JSON alone."""
     skipped = []
     errors = {}
+
+    def share_weights(dst):
+        """Reuse the headline pipeline's device-resident param pytrees on a
+        fresh same-dtype pipeline (params are resolution- and scheduler-
+        independent): skips a full re-init + cast dispatched through the
+        tunnel per extra — several of the r4 compile-storm seconds. Only valid
+        when dst's weight config matches the source's (plain bf16 here)."""
+        if use_hybrid:
+            return dst  # headline params are quantized; let dst init its own
+        dst._unet_params = pipe.unet_params
+        dst._text_params = pipe.text_params
+        dst._vae_params = pipe.vae_params
+        return dst
 
     def fits(name, est):
         remaining = budget - (time.monotonic() - _T0)
@@ -408,15 +437,16 @@ def _run_extras(jax, StableDiffusion, pipe, run, encoded, steps, size, budget,
 
     # -- DPM-Solver++(2M) 15 steps: the quality-equivalent fast config
     def x_dpm15():
-        dpm_pipe = StableDiffusion(img_height=size, img_width=size,
-                                   scheduler_type="dpm")
+        dpm_pipe = share_weights(StableDiffusion(
+            img_height=size, img_width=size, scheduler_type="dpm"))
         td = _time_runs(jax, lambda s: run(s, n=15, p=dpm_pipe), 3, (1,),
                         [(2,), (3,), (4,), (5,)])
         _RESULT["dpm15"] = round(float(np.median(td)), 4)
 
     # -- TCD 4-step batch-8: the few-step distilled-serving config
     def x_tcd4_b8():
-        tcd_pipe = StableDiffusion(img_height=size, img_width=size, active_tcd=True)
+        tcd_pipe = share_weights(StableDiffusion(
+            img_height=size, img_width=size, active_tcd=True))
         tt = _time_runs(jax, lambda s: run(s, b=8, n=4, p=tcd_pipe), 3, (1,),
                         [(2,), (3,), (4,), (5,)])
         _RESULT["tcd4_b8"] = round(float(np.median(tt)) / 8, 4)
@@ -427,7 +457,7 @@ def _run_extras(jax, StableDiffusion, pipe, run, encoded, steps, size, budget,
     # can (SURVEY §5; diffusion_model.py:123-126). Hybrid scales are
     # 512px-calibrated, so this config publishes bf16.
     def x_hires1024():
-        hi_pipe = StableDiffusion(img_height=1024, img_width=1024)
+        hi_pipe = share_weights(StableDiffusion(img_height=1024, img_width=1024))
         th = _time_runs(jax, lambda s: run(s, p=hi_pipe), 2, (1,), [(2,), (3,), (4,)])
         _RESULT["hires1024"] = round(float(np.median(th)), 4)
 
