@@ -230,13 +230,18 @@ def main():
         # Opt-out preamble: verify the COMPILED Pallas kernels against XLA on this
         # chip at the production shapes before timing anything (a Mosaic miscompile
         # would otherwise ship silently — bench checks speed, not values).
+        # Import the pipeline FIRST: its import enables the persistent XLA
+        # compile cache (pipeline.py:61-70). The selfcheck kernels compile
+        # before any pipeline object exists, and without this ordering their
+        # ~3 min of cold Mosaic compiles re-ran on every bench invocation
+        # (observed r5: selfcheck alone ate 180 s of a cold-cache budget).
+        from minsdtf_tpu.pipeline import StableDiffusion
+
         if os.environ.get("MINSDTF_SELFCHECK", "1") == "1":
             from minsdtf_tpu.tools import selfcheck
 
             selfcheck.check_flash_attention()
             _log("selfcheck done")
-
-        from minsdtf_tpu.pipeline import StableDiffusion
 
         # Headline config: decided by the committed quality dossier
         # (fixtures/quality_dossier.json, experiments/quality_dossier.py —
@@ -348,11 +353,20 @@ def _run_extras(jax, StableDiffusion, pipe, run, encoded, steps, size, budget,
         pipe.bpe_path = bpe
         pipe._tokenizer = None
         pipe.warm_text()
-        t0 = time.perf_counter()
-        img = pipe.text_to_image("a photograph of an astronaut riding a horse",
-                                 num_steps=steps, seed=9)
-        jax.block_until_ready(img)
-        _RESULT["e2e_prompt"] = round(time.perf_counter() - t0, 4)
+        # Distinct prompts per rep (the axon server dedupes identical
+        # (program, args) executions) and the first rep is DISCARDED: it pays
+        # executable staging for the fused text program (the single-rep r5
+        # measurement read 0.695 s; the steady-state median is what the field
+        # claims — full prompt -> image wall).
+        times = []
+        for i, prompt in enumerate(["a photograph of an astronaut riding a horse",
+                                    "a watercolor cat wearing a hat",
+                                    "a dog on a star", "hello world the cat"]):
+            t0 = time.perf_counter()
+            img = pipe.text_to_image(prompt, num_steps=steps, seed=9 + i)
+            jax.block_until_ready(img)
+            times.append(time.perf_counter() - t0)
+        _RESULT["e2e_prompt"] = round(float(np.median(times[1:])), 4)
 
     # -- the OTHER dtype config alongside the headline (fresh pipeline + compile)
     def x_alt_dtype():
