@@ -173,35 +173,39 @@ def init_params(rng: jax.Array, dtype=jnp.float32) -> dict:
 
     rs = np.random.RandomState(np.asarray(jax.random.key_data(rng)).ravel()[-1] % (2**31))
 
+    nd = np.dtype(dtype)
+
     def normal(*shape, scale=0.02):
-        return jnp.asarray(rs.normal(0.0, scale, shape), dtype=dtype)
+        # HOST numpy leaves (like the other models' init_params): the pipeline
+        # materializes the pytree on device in one packed transfer.
+        return rs.normal(0.0, scale, shape).astype(nd)
 
     params = {
         "text_model.embeddings.token_embedding": {"embedding": normal(VOCAB_SIZE, EMBED_DIM)},
         "text_model.embeddings.position_embedding": {"embedding": normal(MAX_LENGTH, EMBED_DIM)},
         "text_model.final_layer_norm": {
-            "scale": jnp.ones((EMBED_DIM,), dtype),
-            "bias": jnp.zeros((EMBED_DIM,), dtype),
+            "scale": np.ones((EMBED_DIM,), nd),
+            "bias": np.zeros((EMBED_DIM,), nd),
         },
     }
     for i in range(NUM_LAYERS):
         pre = f"text_model.encoder.layers.{i}"
         for ln in ("layer_norm1", "layer_norm2"):
             params[f"{pre}.{ln}"] = {
-                "scale": jnp.ones((EMBED_DIM,), dtype),
-                "bias": jnp.zeros((EMBED_DIM,), dtype),
+                "scale": np.ones((EMBED_DIM,), nd),
+                "bias": np.zeros((EMBED_DIM,), nd),
             }
         for proj in ("q_proj", "k_proj", "v_proj", "out_proj"):
             params[f"{pre}.self_attn.{proj}"] = {
                 "kernel": normal(EMBED_DIM, EMBED_DIM),
-                "bias": jnp.zeros((EMBED_DIM,), dtype),
+                "bias": np.zeros((EMBED_DIM,), nd),
             }
         params[f"{pre}.mlp.fc1"] = {
             "kernel": normal(EMBED_DIM, EMBED_DIM * 4),
-            "bias": jnp.zeros((EMBED_DIM * 4,), dtype),
+            "bias": np.zeros((EMBED_DIM * 4,), nd),
         }
         params[f"{pre}.mlp.fc2"] = {
             "kernel": normal(EMBED_DIM * 4, EMBED_DIM),
-            "bias": jnp.zeros((EMBED_DIM,), dtype),
+            "bias": np.zeros((EMBED_DIM,), nd),
         }
     return params

@@ -187,18 +187,24 @@ def fuse_attention_projections(params: dict) -> dict:
     (C, C) no-bias projections share the same input, so one (C, 3C) matmul replaces
     three dispatches with a more MXU-friendly N. Not applied under TP meshes — the
     Megatron column rules shard per-projection."""
+    import numpy as np
+
     fused = dict(params)
     for name in list(params):
         if name.endswith(".attn1.to_q"):
             base = name[: -len(".to_q")]
             kernels = [params[f"{base}.to_{t}"]["kernel"] for t in ("q", "k", "v")]
-            fused[f"{base}.to_qkv"] = {"kernel": jnp.concatenate(kernels, axis=1)}
+            # host leaves stay host (one packed device transfer happens later
+            # in pipeline._cast); device leaves concatenate on device
+            xp = np if isinstance(kernels[0], np.ndarray) else jnp
+            fused[f"{base}.to_qkv"] = {"kernel": xp.concatenate(kernels, axis=1)}
             for t in ("q", "k", "v"):
                 del fused[f"{base}.to_{t}"]
         elif name.endswith(".attn2.to_k"):
             base = name[: -len(".to_k")]
             kernels = [params[f"{base}.to_{t}"]["kernel"] for t in ("k", "v")]
-            fused[f"{base}.to_kv"] = {"kernel": jnp.concatenate(kernels, axis=1)}
+            xp = np if isinstance(kernels[0], np.ndarray) else jnp
+            fused[f"{base}.to_kv"] = {"kernel": xp.concatenate(kernels, axis=1)}
             for t in ("k", "v"):
                 del fused[f"{base}.to_{t}"]
     return fused
@@ -286,7 +292,10 @@ def param_specs(widths=BLOCK_WIDTHS, temb_dim: int = 1280, context_dim: int = CO
 
 
 def init_params(rng: jax.Array, dtype=jnp.float32, scale: float = 0.02, **spec_kw) -> dict:
-    """Random params matching :func:`param_specs` (numpy RNG: cheap and CPU-side)."""
+    """Random params matching :func:`param_specs`. Leaves are HOST numpy arrays:
+    the pipeline materializes whole pytrees on device in one packed transfer
+    (pipeline._cast) — constructing each leaf as a device array costs a ~28 ms
+    tunnel dispatch here, ~minutes per model (measured r5)."""
     import numpy as np
 
     rs = np.random.RandomState(np.asarray(jax.random.key_data(rng)).ravel()[-1] % (2**31))
@@ -295,9 +304,9 @@ def init_params(rng: jax.Array, dtype=jnp.float32, scale: float = 0.02, **spec_k
         params[name] = {}
         for leaf, shape in leaves.items():
             if leaf == "scale":
-                params[name][leaf] = jnp.ones(shape, dtype)
+                params[name][leaf] = np.ones(shape, np.dtype(dtype))
             elif leaf == "bias":
-                params[name][leaf] = jnp.zeros(shape, dtype)
+                params[name][leaf] = np.zeros(shape, np.dtype(dtype))
             else:
-                params[name][leaf] = jnp.asarray(rs.normal(0.0, scale, shape), dtype=dtype)
+                params[name][leaf] = rs.normal(0.0, scale, shape).astype(np.dtype(dtype))
     return params

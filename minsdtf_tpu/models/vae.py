@@ -180,9 +180,9 @@ def init_params(rng: jax.Array, dtype=jnp.float32, scale: float = 0.02, **spec_k
         params[name] = {}
         for leaf, shape in leaves.items():
             if leaf == "scale":
-                params[name][leaf] = jnp.ones(shape, dtype)
+                params[name][leaf] = np.ones(shape, np.dtype(dtype))
             elif leaf == "bias":
-                params[name][leaf] = jnp.zeros(shape, dtype)
+                params[name][leaf] = np.zeros(shape, np.dtype(dtype))
             else:
-                params[name][leaf] = jnp.asarray(rs.normal(0.0, scale, shape), dtype=dtype)
+                params[name][leaf] = rs.normal(0.0, scale, shape).astype(np.dtype(dtype))
     return params

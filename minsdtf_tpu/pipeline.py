@@ -302,16 +302,57 @@ class StableDiffusion:
     def _cast(self, params):
         """Matmul/conv weights live in the compute dtype (bf16 in production: halves
         weight HBM traffic and avoids per-step casts inside the scan); norm
-        scale/bias stay fp32 — the norm ops compute fp32 statistics anyway."""
-        if self.compute_dtype == jnp.float32:
-            return params
-        out = {}
+        scale/bias stay fp32 — the norm ops compute fp32 statistics anyway.
+
+        Materialization is PACKED: casts happen host-side (numpy/ml_dtypes bf16 —
+        same round-to-nearest-even as a device astype), all leaves of a dtype
+        concatenate into one flat buffer, and ONE jitted slice/reshape program
+        rebuilds the pytree on device. The previous per-leaf ``jnp.asarray`` was
+        ~700 leaves x ~28 ms of fixed tunnel dispatch per model (~minutes of the
+        r5 bench's startup, measured); packed it is one H2D per dtype + one
+        dispatch, and the bf16 host cast also halves the bytes crossing the
+        tunnel. Device-array leaves (e.g. runtime LoRA remerges of already-
+        resident params) pass through untouched."""
+        cast_to = (None if self.compute_dtype == jnp.float32
+                   else np.dtype(self.compute_dtype))
+        names, host, passthrough = [], [], {}
         for module, leaves in params.items():
-            out[module] = {
-                leaf: (jnp.asarray(v).astype(self.compute_dtype)
-                       if leaf in ("kernel", "embedding") else jnp.asarray(v))
-                for leaf, v in leaves.items()
-            }
+            for leaf, v in leaves.items():
+                if isinstance(v, jax.Array):
+                    passthrough[(module, leaf)] = v
+                    continue
+                a = np.asarray(v)
+                if cast_to is not None and leaf in ("kernel", "embedding"):
+                    a = a.astype(cast_to)
+                names.append((module, leaf))
+                host.append(a)
+        if not host:  # pure-device pytree (already materialized)
+            return params
+        pieces = {}  # dtype str -> list of raveled leaves (concatenated once)
+        offsets = {}  # dtype str -> running element offset
+        meta = []  # (module, leaf, dtype str, offset, shape)
+        for i in range(len(host)):
+            ds = host[i].dtype.str
+            off = offsets.get(ds, 0)
+            pieces.setdefault(ds, []).append(host[i].ravel())
+            offsets[ds] = off + host[i].size
+            meta.append((*names[i], ds, off, host[i].shape))
+        dev = {ds: jnp.asarray(np.concatenate(ps))
+               for ds, ps in pieces.items()}  # one H2D per dtype
+
+        def unpack(bufs):
+            out = {}
+            for module, leaf, ds, off, shape in meta:
+                size = int(np.prod(shape, dtype=np.int64))
+                out.setdefault(module, {})[leaf] = (
+                    jax.lax.slice(bufs[ds], (off,), (off + size,)).reshape(shape))
+            return out
+
+        out = jax.jit(unpack)(dev)
+        # device-resident leaves rejoin OUTSIDE the jit (a closure would embed
+        # them as program constants)
+        for (module, leaf), v in passthrough.items():
+            out.setdefault(module, {})[leaf] = v
         return out
 
     @property

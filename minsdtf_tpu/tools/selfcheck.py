@@ -42,30 +42,45 @@ def check_flash_attention(shapes=None, dtype=None, rtol=2e-2, atol=2e-2, verbose
     from minsdtf_tpu.ops import flash_attention as fa
 
     dtype = dtype or (jnp.bfloat16 if jax.devices()[0].platform == "tpu" else jnp.float32)
-    results = []
-    for (b, s, h, d) in shapes or PRODUCTION_SHAPES:
-        if not fa.supports(s, s, d):
-            if verbose:
-                print(f"selfcheck: skip (B{b} S{s} H{h} D{d}) — xla path")
-            continue
-        key = jax.random.PRNGKey(s + d)
-        kq, kk, kv = jax.random.split(key, 3)
-        q = jax.random.normal(kq, (b, s, h, d), dtype)
-        k = jax.random.normal(kk, (b, s, h, d), dtype)
-        v = jax.random.normal(kv, (b, s, h, d), dtype)
-        scale = float(d) ** -0.5
+    todo = [t for t in (shapes or PRODUCTION_SHAPES) if fa.supports(t[1], t[1], t[3])]
+    if verbose:
+        for t in (shapes or PRODUCTION_SHAPES):
+            if t not in todo:
+                print(f"selfcheck: skip (B{t[0]} S{t[1]} H{t[2]} D{t[3]}) — xla path")
+    if not todo:
+        return []
 
-        pallas_out = jax.jit(lambda a, b_, c: fa.flash_attention(a, b_, c, scale=scale))(q, k, v)
-        xla_out = jax.jit(lambda a, b_, c: attn._xla_attention(a, b_, c, scale=scale, causal=False))(q, k, v)
-        diff = np.abs(np.asarray(pallas_out, np.float32) - np.asarray(xla_out, np.float32))
-        ref = np.abs(np.asarray(xla_out, np.float32))
-        max_err = float(diff.max())
-        ok = np.allclose(np.asarray(pallas_out, np.float32), np.asarray(xla_out, np.float32),
-                         rtol=rtol, atol=atol)
+    # ONE program for every shape: both paths for all shapes jit together, so a
+    # full selfcheck costs one compile + one dispatch instead of two programs per
+    # shape (6 server-side compiles through the tunnel dominated the r5 bench's
+    # fixed startup — ~280 s; the single fused program also amortizes executable
+    # staging). Only per-shape (max_abs_diff, max_abs_ref, per-element-ok) scalars
+    # come back.
+    def run_all():
+        stats = []
+        for (b, s, h, d) in todo:
+            key = jax.random.PRNGKey(s + d)
+            kq, kk, kv = jax.random.split(key, 3)
+            q = jax.random.normal(kq, (b, s, h, d), dtype)
+            k = jax.random.normal(kk, (b, s, h, d), dtype)
+            v = jax.random.normal(kv, (b, s, h, d), dtype)
+            scale = float(d) ** -0.5
+            p32 = fa.flash_attention(q, k, v, scale=scale).astype(jnp.float32)
+            x32 = attn._xla_attention(q, k, v, scale=scale, causal=False).astype(jnp.float32)
+            diff = jnp.abs(p32 - x32)
+            # same criterion as np.allclose: |a-b| <= atol + rtol*|b| everywhere
+            ok = jnp.all(diff <= atol + rtol * jnp.abs(x32))
+            stats.append((jnp.max(diff), jnp.max(jnp.abs(x32)), ok))
+        return stats
+
+    stats = [[np.asarray(v) for v in row] for row in jax.jit(run_all)()]
+    results = []
+    for (b, s, h, d), (max_err, ref_max, ok) in zip(todo, stats):
+        max_err, ok = float(max_err), bool(ok)
         results.append(((b, s, h, d), max_err))
         if verbose:
             print(f"selfcheck: flash B{b} S{s} H{h} D{d}: max abs err {max_err:.3e} "
-                  f"(ref max {ref.max():.2f}) {'OK' if ok else 'MISMATCH'}")
+                  f"(ref max {float(ref_max):.2f}) {'OK' if ok else 'MISMATCH'}")
         if not ok:
             raise AssertionError(
                 f"compiled Pallas flash attention disagrees with XLA at shape "

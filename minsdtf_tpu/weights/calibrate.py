@@ -223,7 +223,7 @@ def bake_act_scales(
             out[name] = leaves
             continue
         new = dict(leaves)
-        new["act_scale"] = jnp.float32(max(amax, 1e-12) * margin / 127.0)
+        new["act_scale"] = np.float32(max(amax, 1e-12) * margin / 127.0)
         out[name] = new
     return out
 

@@ -65,8 +65,8 @@ def _quantize_module(leaves: dict) -> dict:
     (fp32 per-out-channel); every other leaf passes through."""
     q, scale = quantize_kernel(leaves["kernel"])
     new = {k: v for k, v in leaves.items() if k != "kernel"}
-    new["kernel_q"] = jnp.asarray(q)
-    new["kernel_scale"] = jnp.asarray(scale)
+    new["kernel_q"] = np.asarray(q)
+    new["kernel_scale"] = np.asarray(scale)
     return new
 
 
@@ -174,16 +174,15 @@ def _equalized_module(
     w_eff = (kq.astype(np.float64) * wsc) / d[None, None, :, None]
 
     new = {k: v for k, v in leaves.items() if k != "kernel"}
-    new["kernel_q"] = jnp.asarray(kq)
-    new["kernel_scale"] = jnp.asarray(wsc.astype(np.float32))
-    new["act_scale"] = jnp.float32(asc)
-    new["act_qmul"] = jnp.asarray((1.0 / (d * asc)).astype(np.float32))
+    new["kernel_q"] = np.asarray(kq)
+    new["kernel_scale"] = wsc.astype(np.float32)
+    new["act_scale"] = np.float32(asc)
+    new["act_qmul"] = (1.0 / (d * asc)).astype(np.float32)
 
     dw = w_eff - w
     if bias_correct and "bias" in leaves:
         delta = np.einsum("j,hwjo->o", m, dw)
-        new["bias"] = jnp.asarray(
-            (np.asarray(leaves["bias"], np.float64) - delta).astype(np.float32))
+        new["bias"] = (np.asarray(leaves["bias"], np.float64) - delta).astype(np.float32)
 
     # analytic relative output MSE: activation rounding noise (uniform, var
     # step^2/12 with per-channel step d_j*asc) through the dequantized weights,
@@ -286,6 +285,6 @@ def hybridize_params(
             out[name] = new if keep else leaves
             continue
         new = _quantize_module(leaves)
-        new["act_scale"] = jnp.float32(max(amax, 1e-12) * margin / 127.0)
+        new["act_scale"] = np.float32(max(amax, 1e-12) * margin / 127.0)
         out[name] = new
     return out
