@@ -14,8 +14,7 @@ TIMEOUT-PROOFING (VERDICT r4 #1 — BENCH_r04 was lost to a driver wall-clock ki
   - the JSON line is emitted by a single ``_emit()`` that SIGTERM/SIGINT/SIGALRM
     handlers also call, so an external kill publishes whatever has been measured
     (the headline runs first, so the line is never empty);
-  - a self-imposed wall budget (``BENCH_BUDGET_S``, default 900 s — kept well
-    inside any plausible driver limit; warm-cache full runs take ~6-8 min) is
+  - a self-imposed wall budget (``BENCH_BUDGET_S``, default 1150 s) is
     enforced BEFORE starting each extra with a conservative cold-cache cost
     estimate; what doesn't fit is published in ``"skipped"`` instead of risking
     the whole line;
@@ -179,7 +178,12 @@ def main():
     size = int(os.environ.get("BENCH_SIZE", 512))
     batch = int(os.environ.get("BENCH_BATCH", 1))
     repeats = int(os.environ.get("BENCH_REPEATS", 3))
-    budget = float(os.environ.get("BENCH_BUDGET_S", 900))
+    # Default budget: a fully warm-cache full run measured 1367 s in r5 before
+    # the packed-weight/fused-selfcheck startup fixes (~-400 s estimated); the
+    # SIGTERM handler + watchdog guarantee the JSON line even if an external
+    # kill lands first (timeout(1) sends TERM before KILL), so a budget past
+    # the driver's unknown limit risks an rc, not the result line.
+    budget = float(os.environ.get("BENCH_BUDGET_S", 1150))
     tcd = os.environ.get("BENCH_TCD") == "1"  # headline in few-step TCD mode
     extras = os.environ.get("BENCH_EXTRAS", "1") == "1" and size == 512 and not tcd
 
@@ -482,11 +486,11 @@ def _run_extras(jax, StableDiffusion, pipe, run, encoded, steps, size, budget,
     plan = [
         ("pipelined", 45, x_pipelined),
         ("e2e_prompt", 120, x_e2e_prompt),
-        ("int8_hybrid" if not use_hybrid else "bf16", 240, x_alt_dtype),
         ("throughput_b8", 200, x_throughput_b8),
-        ("served_qps", 240, x_served_qps),
         ("dpm15", 240, x_dpm15),
         ("tcd4_b8", 200, x_tcd4_b8),
+        ("served_qps", 240, x_served_qps),
+        ("int8_hybrid" if not use_hybrid else "bf16", 240, x_alt_dtype),
         ("hires1024", 300, x_hires1024),
     ]
     for name, est, thunk in plan:

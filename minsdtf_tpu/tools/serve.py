@@ -300,7 +300,13 @@ def _encode_image(arr: np.ndarray) -> dict:
         from PIL import Image
 
         buf = io.BytesIO()
-        Image.fromarray(arr).save(buf, format="PNG")
+        # compress_level=1: zlib's fastest setting. PNG encode runs on the host
+        # CPU in the response path of every request. On high-entropy outputs the
+        # levels tie (~40 ms for 512x512 on this 1-core box — zlib finds nothing
+        # to match either way), but on real photographic outputs level 6 costs
+        # several times more host CPU for a marginal size win a serving daemon
+        # doesn't want to buy.
+        Image.fromarray(arr).save(buf, format="PNG", compress_level=1)
         return {"image": base64.b64encode(buf.getvalue()).decode(), "format": "png",
                 "shape": list(arr.shape)}
     except Exception:
