@@ -304,18 +304,22 @@ class StableDiffusion:
         weight HBM traffic and avoids per-step casts inside the scan); norm
         scale/bias stay fp32 — the norm ops compute fp32 statistics anyway.
 
-        Materialization is PACKED: casts happen host-side (numpy/ml_dtypes bf16 —
-        same round-to-nearest-even as a device astype), all leaves of a dtype
-        concatenate into one flat buffer, and ONE jitted slice/reshape program
-        rebuilds the pytree on device. The previous per-leaf ``jnp.asarray`` was
-        ~700 leaves x ~28 ms of fixed tunnel dispatch per model (~minutes of the
-        r5 bench's startup, measured); packed it is one H2D per dtype + one
-        dispatch, and the bf16 host cast also halves the bytes crossing the
-        tunnel. Device-array leaves (e.g. runtime LoRA remerges of already-
-        resident params) pass through untouched."""
+        Materialization is BATCHED: casts happen host-side (numpy/ml_dtypes
+        bf16 — same round-to-nearest-even as a device astype), then the whole
+        host pytree lands in ONE ``jax.device_put`` whose transfers stream
+        asynchronously. The previous per-leaf ``jnp.asarray`` paid ~28 ms of
+        fixed tunnel dispatch per leaf (~700 leaves/model, ~215 s before the
+        first trace — measured r5); batched it is ~42 s for the 1.1 GB UNet,
+        i.e. bandwidth-bound, and the bf16 host cast also halves the bytes
+        crossing the tunnel. (A packed single-buffer + jitted slice/reshape
+        unpack was tried first: XLA pads small-minor conv-shape reshapes from
+        one flat bf16 buffer to a 54 GB allocation at compile time — tiled
+        layouts make that design a non-starter on TPU.) Device-array leaves
+        (e.g. runtime LoRA remerges of already-resident params) pass through
+        untouched."""
         cast_to = (None if self.compute_dtype == jnp.float32
                    else np.dtype(self.compute_dtype))
-        names, host, passthrough = [], [], {}
+        host, passthrough, any_host = {}, {}, False
         for module, leaves in params.items():
             for leaf, v in leaves.items():
                 if isinstance(v, jax.Array):
@@ -324,33 +328,11 @@ class StableDiffusion:
                 a = np.asarray(v)
                 if cast_to is not None and leaf in ("kernel", "embedding"):
                     a = a.astype(cast_to)
-                names.append((module, leaf))
-                host.append(a)
-        if not host:  # pure-device pytree (already materialized)
+                host.setdefault(module, {})[leaf] = a
+                any_host = True
+        if not any_host:  # pure-device pytree (already materialized)
             return params
-        pieces = {}  # dtype str -> list of raveled leaves (concatenated once)
-        offsets = {}  # dtype str -> running element offset
-        meta = []  # (module, leaf, dtype str, offset, shape)
-        for i in range(len(host)):
-            ds = host[i].dtype.str
-            off = offsets.get(ds, 0)
-            pieces.setdefault(ds, []).append(host[i].ravel())
-            offsets[ds] = off + host[i].size
-            meta.append((*names[i], ds, off, host[i].shape))
-        dev = {ds: jnp.asarray(np.concatenate(ps))
-               for ds, ps in pieces.items()}  # one H2D per dtype
-
-        def unpack(bufs):
-            out = {}
-            for module, leaf, ds, off, shape in meta:
-                size = int(np.prod(shape, dtype=np.int64))
-                out.setdefault(module, {})[leaf] = (
-                    jax.lax.slice(bufs[ds], (off,), (off + size,)).reshape(shape))
-            return out
-
-        out = jax.jit(unpack)(dev)
-        # device-resident leaves rejoin OUTSIDE the jit (a closure would embed
-        # them as program constants)
+        out = jax.device_put(host)
         for (module, leaf), v in passthrough.items():
             out.setdefault(module, {})[leaf] = v
         return out
