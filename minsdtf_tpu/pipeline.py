@@ -801,7 +801,10 @@ class StableDiffusion:
                 noise = np.repeat(noise[None], batch_size, axis=0)
             noise = jnp.asarray(noise, jnp.float32)
         elif device_noise:
-            philox_kc = jnp.asarray(rng_lib.philox_key_counter(seed))
+            # numpy, NOT jnp.asarray: an explicit pre-dispatch transfer pays its
+            # own fixed tunnel RTT (~28 ms); as a host arg the 16 bytes ride the
+            # sampler dispatch's own arg upload.
+            philox_kc = np.asarray(rng_lib.philox_key_counter(seed))
         else:
             # TF-Philox-compatible host generator: the SAME integer seed yields the
             # SAME initial noise as the reference's keras.random.normal(seed)
