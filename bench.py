@@ -241,10 +241,14 @@ def main():
         # (observed r5: selfcheck alone ate 180 s of a cold-cache budget).
         from minsdtf_tpu.pipeline import StableDiffusion
 
-        if os.environ.get("MINSDTF_SELFCHECK", "1") == "1":
+        if os.environ.get("MINSDTF_SELFCHECK", "1") != "0":
             from minsdtf_tpu.tools import selfcheck
 
-            selfcheck.check_flash_attention()
+            # marker-cached: a full re-verify costs ~500 s of server-side
+            # compile through the tunnel and can only change when the kernel
+            # source / jax / device kind change (MINSDTF_SELFCHECK=always
+            # forces the full run)
+            selfcheck.check_flash_attention_cached()
             _log("selfcheck done")
 
         # Headline config: decided by the committed quality dossier
