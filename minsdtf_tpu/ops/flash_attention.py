@@ -63,6 +63,19 @@ def _pick_blocks(q_len: int, kv_len: int, head_dim: int = 128, itemsize: int = 2
     block_q = min(q_len, pow2)
     while q_len % block_q != 0 and block_q > 64:
         block_q //= 2
+    # The Q/O blocks are ALSO double-buffered at (block_q, dpad) — negligible at
+    # the d<=80 UNet shapes, but at the VAE's d=512 in fp32 they are 4 MB each
+    # and the scores-only budget overflows scoped VMEM (21.5 MB at block_q 2048,
+    # hit by the r5 dossier's fp32 batch-8 leg). Shrink block_q until the whole
+    # working set — scores + K/V + Q/O double-buffers + fp32 accumulator row —
+    # fits the budget.
+    def total_bytes(bq):
+        qo_bytes = 2 * 2 * bq * dpad * itemsize
+        acc_bytes = bq * dpad * 4 + 2 * bq * 128  # o accumulator + m/l rows
+        return 4 * bq * block_k + kv_bytes + qo_bytes + acc_bytes
+
+    while block_q > 64 and total_bytes(block_q) > 2 * budget:
+        block_q //= 2
     return block_q, block_k
 
 
