@@ -113,6 +113,12 @@ def _use_onepass(q_len: int, kv_len: int, head_dim: int, itemsize: int = 2) -> b
         return False
     if kv_len > ONEPASS_MAX_KV or head_dim > ONEPASS_MAX_D:
         return False
+    # fp32 inputs at large KV go to the online kernel: the one-pass working set
+    # (whole K/V rows + fp32 scores + fp32 p copy) overflowed scoped VMEM in the
+    # r5 dossier's fp32 batch-8 leg even at the halved block budget, and fp32
+    # runs are parity/dossier legs where the one-pass speed win is irrelevant.
+    if itemsize > 2 and kv_len > 2048:
+        return False
     return _onepass_block_q(q_len, kv_len, itemsize) is not None
 
 
