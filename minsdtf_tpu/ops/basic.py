@@ -51,7 +51,8 @@ def _parse_blocks_map(setting: str) -> dict:
 _BLOCKS_MAP_CACHE: dict = {}
 
 
-def _resolve_blocks(setting: str, batch: int, hout: Optional[int] = None) -> int:
+def _resolve_blocks(setting: str, batch: int, hout: Optional[int] = None,
+                    auto_cap: int = 16) -> int:
     """Batch-adaptive fold count for :func:`_blocked_conv`.
 
     The folding exists to fill the MXU sublanes when the conv batch is small;
@@ -77,7 +78,7 @@ def _resolve_blocks(setting: str, batch: int, hout: Optional[int] = None) -> int
         return int(setting)
     if batch >= 8:
         return 1
-    n = max(1, min(16, 32 // batch))
+    n = max(1, min(auto_cap, 32 // batch))
     return 1 << (n.bit_length() - 1)
 
 
@@ -226,7 +227,12 @@ def conv2d(x: jax.Array, p: dict, stride: int = 1, padding: Padding = 0) -> jax.
                 jnp.square(out.astype(jnp.float32)))
     else:
         kernel = p["kernel"].astype(x.dtype)
-        nb_float = _resolve_blocks(_FLOAT_BLOCKS, x.shape[0], hout)
+        # auto_cap 8 for the FLOAT path: the r5 per-resolution sweep measured 8
+        # row blocks beating the r3 global 16 at every conv height (512px b1
+        # bf16 wall: 0.4638 at 8-blocks vs 0.4853 at 16 — pass-1 singles and
+        # pass-2 combinations in ROADMAP r5), while the int8 path's calibrated
+        # 16:16 optimum (r3 sweep) is unchanged.
+        nb_float = _resolve_blocks(_FLOAT_BLOCKS, x.shape[0], hout, auto_cap=8)
         if nb_float > 1 and x.dtype != jnp.float32:
             out = _blocked_conv(
                 x, kernel, stride, pad, nb_float,

@@ -127,10 +127,14 @@ def test_blocked_float_conv_matches_direct():
         np.asarray(blocked, np.float32), np.asarray(direct, np.float32),
         atol=2e-4, rtol=0)
     # production entry point routes bf16 through the blocked path by default:
-    # "auto" folds small batches to a total of ~32 rows-in-batch and leaves
-    # sublane-filling batches (>=16) unfolded (r3 b1 + b8 block sweeps)
+    # "auto" folds small batches (capped at 8 for the float path — the r5
+    # per-resolution sweep beat the r3 global 16 at every height: 0.4638 vs
+    # 0.4853 s/img) and leaves sublane-filling batches (>=8) unfolded
+    # (r3 b8 sweep). The int8 path keeps its calibrated cap of 16 (r3 optimum).
     assert basic._FLOAT_BLOCKS == "auto"
-    assert basic._resolve_blocks("auto", 1) == 16
+    assert basic._resolve_blocks("auto", 1, auto_cap=8) == 8
+    assert basic._resolve_blocks("auto", 2, auto_cap=8) == 8
+    assert basic._resolve_blocks("auto", 1) == 16   # int8 default cap
     assert basic._resolve_blocks("auto", 2) == 16
     assert basic._resolve_blocks("auto", 4) == 8
     assert basic._resolve_blocks("auto", 8) == 1
