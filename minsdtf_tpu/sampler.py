@@ -70,6 +70,17 @@ def rescale_noise_cfg(noise_cfg, noise_pred_text, guidance_rescale, epsilon=1e-5
     return guidance_rescale * rescaled + (1.0 - guidance_rescale) * noise_cfg
 
 
+# MINSDTF_XLA_OPTS: comma-separated per-compile XLA option overrides for the
+# sampler program ("key=value,key=value"), forwarded through jit's
+# compiler_options — the axon terminal overrides the XLA_FLAGS/LIBTPU_INIT_ARGS
+# env vars server-side, so proto-backed per-compile options are the ONLY
+# channel for XLA knob A/Bs on this platform (r5; e.g.
+# MINSDTF_XLA_OPTS=xla_tpu_scoped_vmem_limit_kib=32768).
+_XLA_OPTS = {
+    kv.split("=", 1)[0]: kv.split("=", 1)[1]
+    for kv in os.environ.get("MINSDTF_XLA_OPTS", "").split(",") if "=" in kv
+}
+
 @partial(
     jax.jit,
     static_argnames=(
@@ -78,6 +89,7 @@ def rescale_noise_cfg(noise_cfg, noise_pred_text, guidance_rescale, epsilon=1e-5
         "latent_dtype", "trace_latents",
     ),
     donate_argnames=("latent0",),
+    compiler_options=_XLA_OPTS or None,
 )
 def generate(
     unet_params,
