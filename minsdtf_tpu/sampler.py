@@ -71,27 +71,51 @@ def rescale_noise_cfg(noise_cfg, noise_pred_text, guidance_rescale, epsilon=1e-5
 
 
 # MINSDTF_XLA_OPTS: comma-separated per-compile XLA option overrides for the
-# sampler program ("key=value,key=value"), forwarded through jit's
-# compiler_options — the axon terminal overrides the XLA_FLAGS/LIBTPU_INIT_ARGS
-# env vars server-side, so proto-backed per-compile options are the ONLY
-# channel for XLA knob A/Bs on this platform (r5; e.g.
-# MINSDTF_XLA_OPTS=xla_tpu_scoped_vmem_limit_kib=32768).
+# sampler program ("key=value,key=value"; set empty to clear the default),
+# forwarded through jit's compiler_options — the axon terminal overrides the
+# XLA_FLAGS/LIBTPU_INIT_ARGS env vars server-side, so proto-backed per-compile
+# options are the ONLY channel for XLA knobs on this platform (r5).
+# Default: 32 MB scoped VMEM. The r5 on-chip sweep at 512px b1 measured
+# 0.4623 s/img at 32768 KiB vs 0.4698 at the 16 MB default (bigger conv-fusion
+# tiles) and 0.4933 at 65536 (overshoot); batch-8 (0.4073 vs 0.402-0.409
+# jitter band) and 1024px (3.662 vs 3.656) are neutral.
 _XLA_OPTS = {
     kv.split("=", 1)[0]: kv.split("=", 1)[1]
-    for kv in os.environ.get("MINSDTF_XLA_OPTS", "").split(",") if "=" in kv
+    for kv in os.environ.get(
+        "MINSDTF_XLA_OPTS", "xla_tpu_scoped_vmem_limit_kib=32768"
+    ).split(",") if "=" in kv
 }
 
-@partial(
-    jax.jit,
+_JIT_KW = dict(
     static_argnames=(
         "use_cfg", "active_tcd", "stochastic", "use_controls", "use_inpaint", "decode",
         "with_progress", "lcm", "dpm", "euler_a", "v_prediction", "sp", "latent_shape",
         "latent_dtype", "trace_latents",
     ),
     donate_argnames=("latent0",),
-    compiler_options=_XLA_OPTS or None,
 )
-def generate(
+_GENERATE_JIT = None
+
+
+def generate_jit():
+    """The jitted sampler, built lazily on first use: the TPU-only compiler
+    options must not reach XLA:CPU (unknown-flag error in the CPU test tier),
+    and probing the backend at import time would initialize the device — a
+    hang when the tunnel is down. By the first sampler call the caller has
+    already materialized weights, so the backend query is free. (AOT users:
+    ``generate_jit().lower(...)`` — tests/test_full_width_lowering.py.)"""
+    global _GENERATE_JIT
+    if _GENERATE_JIT is None:
+        opts = _XLA_OPTS if (_XLA_OPTS and jax.devices()[0].platform == "tpu") else None
+        _GENERATE_JIT = jax.jit(_generate, compiler_options=opts, **_JIT_KW)
+    return _GENERATE_JIT
+
+
+def generate(*args, **kwargs):
+    return generate_jit()(*args, **kwargs)
+
+
+def _generate(
     unet_params,
     decoder_params,
     latent0: Optional[jax.Array],  # (B, h, w, 4) initial (noised) latent, or None

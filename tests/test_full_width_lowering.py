@@ -86,7 +86,7 @@ def _lower_sampler(mesh, tp: bool, latent_hw: int, sp_key=None):
         "sr_t", "nr_t", "sr_prev", "nr_prev", "is_last")}
 
     with mesh:
-        lowered = sampler.generate.lower(
+        lowered = sampler.generate_jit().lower(
             u, v, latent0, ctx, unc, t_embs, rows,
             jnp.float32(7.5), jnp.float32(0.7),
             use_cfg=True, active_tcd=False, stochastic=False,
